@@ -1,0 +1,22 @@
+"""Semi-implicit (symplectic) Euler integrator, batch-last.
+
+Matches the reference's physics rate: dt = 0.005 s, 1 substep
+(legged_robot_config.py:193-194). Velocities update first, positions
+integrate with the NEW velocities. Base spatial velocity lives in base
+coordinates, where v_dot equals the spatial acceleration returned by ABA
+(the apparent-derivative identity, RBDA sec. 2.11), so the update is a
+plain axpy.
+"""
+import jax.numpy as jnp
+
+from legged_gym_tpu.ops import quat as quat_ops
+from legged_gym_tpu.physics.state import PhysicsState
+
+
+def integrate(state: PhysicsState, a_base, qdd, dt) -> PhysicsState:
+    vel = state.vel + dt * a_base
+    qd = state.qd + dt * qdd
+    pos = state.pos + dt * quat_ops.rotate(state.quat, vel[3:6])
+    quat = quat_ops.integrate(state.quat, vel[0:3], dt)
+    q = state.q + dt * qd
+    return PhysicsState(pos=pos, quat=quat, vel=vel, q=q, qd=qd)
