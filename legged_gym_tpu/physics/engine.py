@@ -1,0 +1,145 @@
+"""The physics engine: one fused sim step (PD drive + contact + ABA +
+integration), all inside jit.
+
+Replaces the reference's per-substep C++ boundary crossings
+(set_dof_position_target_tensor / simulate / refresh_* at
+legged_robot.py:93-99): here a sim step is a pure function
+``(state, params, targets) -> (state', SimInfo)`` that XLA fuses end to
+end. The env layer scans it ``decimation`` times per policy step.
+
+Two drive modes, matching the reference:
+- position drive (the fork's active path, legged_robot.py:93-95): PD
+  torque to clipped position targets, evaluated every inner substep with
+  implicit damping (PhysX DOF_MODE_POS equivalent);
+- torque drive (_compute_torques path, :370-392, used by ANYmal's SEA
+  net): torque held over the sim dt.
+
+Inner substeps subdivide the 5 ms sim dt for penalty-contact stability
+(PhysX gets away with 5 ms because TGS solves contacts implicitly; an
+explicit penalty needs ~1 ms).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from legged_gym_tpu.physics.aba import aba
+from legged_gym_tpu.physics.contact import (ContactConfig,
+                                            accumulate_body_forces,
+                                            accumulate_link_wrenches,
+                                            contact_forces)
+from legged_gym_tpu.physics.integrator import integrate
+from legged_gym_tpu.physics.kinematics import (contact_point_kinematics,
+                                               forward_kinematics)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    dt: float = 0.005                 # sim dt (reference sim.dt)
+    substeps: int = 4                 # inner contact substeps per sim dt
+    gravity: tuple = (0.0, 0.0, -9.81)
+    contact: ContactConfig = dataclasses.field(default_factory=ContactConfig)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimInfo:
+    body_forces: jnp.ndarray   # (nb, 3, N) net contact force per report body
+    torques: jnp.ndarray       # (nq, N) applied joint torques (sensor)
+
+
+class Engine:
+    """Bound to a compiled model + terrain + static gains; methods are pure
+    and jit-traceable (self is closed over as compile-time constants)."""
+
+    def __init__(self, model, sim: SimConfig, grid=None, kp=None, kd=None,
+                 fixed_base=False):
+        self.model = model
+        self.sim = sim
+        self.grid = grid
+        self.fixed_base = fixed_base
+        nq = model.nq
+        import numpy as np
+        self.kp = np.zeros(nq) if kp is None else np.asarray(kp, float)
+        self.kd = np.zeros(nq) if kd is None else np.asarray(kd, float)
+        self.torque_limit = np.asarray(model.dof_effort, float)
+        self.dt_inner = sim.dt / sim.substeps
+        # implicit joint-space diagonal: URDF damping + PD kd + dt*kp
+        self._imp_pd = (self.dt_inner
+                        * (self.kd + self.dt_inner * self.kp
+                           + np.asarray(model.dof_damping)))[:, None]
+        self._imp_passive = (self.dt_inner
+                             * np.asarray(model.dof_damping))[:, None]
+        self._has_joint_damping = bool(np.any(model.dof_damping != 0.0))
+
+    # ---- one inner substep ----
+    def _substep(self, state, inertia_params, friction, tau_fn, implicit_d):
+        fk = forward_kinematics(self.model, state)
+        if len(self.model.cp_link):
+            cp_pos, cp_vel = contact_point_kinematics(self.model, fk)
+            f_pts = contact_forces(self.model, self.grid, self.sim.contact,
+                                   cp_pos, cp_vel, friction)
+            link_f, link_n = accumulate_link_wrenches(self.model, fk,
+                                                      cp_pos, f_pts)
+            body_forces = accumulate_body_forces(self.model, f_pts)
+        else:
+            link_f = link_n = None
+            body_forces = jnp.zeros((self.model.num_bodies, 3, state.n),
+                                    state.pos.dtype)
+        tau = tau_fn(state)
+        if self._has_joint_damping:
+            tau = tau - jnp.asarray(self.model.dof_damping,
+                                    state.pos.dtype)[:, None] * state.qd
+        a0, qdd = aba(self.model, inertia_params, fk, state.qd, tau,
+                      f_ext_w=link_f, n_ext_w=link_n,
+                      gravity=self.sim.gravity, fixed_base=self.fixed_base,
+                      implicit_d=implicit_d)
+        new_state = integrate(state, a0, qdd, self.dt_inner)
+        return new_state, SimInfo(body_forces=body_forces, torques=tau)
+
+    def _run_substeps(self, state, inertia_params, friction, tau_fn,
+                      implicit_d):
+        def body(carry, _):
+            s, _info = carry
+            return self._substep(s, inertia_params, friction, tau_fn,
+                                 implicit_d), None
+
+        nb, nq, n = self.model.num_bodies, self.model.nq, state.n
+        info0 = SimInfo(body_forces=jnp.zeros((nb, 3, n), state.pos.dtype),
+                        torques=jnp.zeros((nq, n), state.pos.dtype))
+        (state, info), _ = jax.lax.scan(body, (state, info0), None,
+                                        length=self.sim.substeps)
+        return state, info
+
+    # ---- public drive modes (one sim dt each) ----
+    def step_pos_targets(self, state, inertia_params, friction, targets):
+        """Position-drive sim step (reference legged_robot.py:93-96).
+
+        targets: (nq, N), already scaled/offset/clipped by the env
+        (_compute_poses semantics, legged_robot.py:394-397).
+        """
+        kp = jnp.asarray(self.kp, state.pos.dtype)[:, None]
+        kd_eff = jnp.asarray(self.kd + self.dt_inner * self.kp,
+                             state.pos.dtype)[:, None]
+        lim = jnp.asarray(self.torque_limit, state.pos.dtype)[:, None]
+
+        def tau_fn(s):
+            return jnp.clip(kp * (targets - s.q) - kd_eff * s.qd, -lim, lim)
+
+        return self._run_substeps(state, inertia_params, friction, tau_fn,
+                                  jnp.asarray(self._imp_pd, state.pos.dtype))
+
+    def step_torques(self, state, inertia_params, friction, tau):
+        """Torque-drive sim step: tau (nq, N) held over the sim dt, clipped
+        to the URDF effort limits (reference _compute_torques:392)."""
+        lim = jnp.asarray(self.torque_limit, state.pos.dtype)[:, None]
+        tau_c = jnp.clip(tau, -lim, lim)
+
+        def tau_fn(s):
+            return tau_c
+
+        return self._run_substeps(state, inertia_params, friction, tau_fn,
+                                  jnp.asarray(self._imp_passive,
+                                              state.pos.dtype))

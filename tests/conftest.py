@@ -1,8 +1,10 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
-multi-chip sharding tests run without TPU hardware."""
+multi-chip sharding tests run without TPU hardware (and tiny test shapes
+don't pay TPU compile latency). Bench/scripts still use the real chip."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# override (the environment may pre-set JAX_PLATFORMS=axon for the TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
