@@ -1,0 +1,84 @@
+"""Headline benchmark: Go1 rough-terrain rollout throughput.
+
+Tracked metric (BASELINE.json): env-steps/s/chip at 1800 envs, Go1 on
+heightfield terrain with height scanning, full reward stack, DR, resets —
+the reference's recommended training scale (README.md:37,49).
+
+Baseline: Isaac Gym publishes no throughput for this config; we use
+100k policy-env-steps/s as the single-GPU estimate derived from the
+linked paper (arXiv:2109.11978: 4096-env ANYmal @ ~25 steps/s/env on an
+A100 ≈ 100k steps/s) — see BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+ISAAC_BASELINE_STEPS_S = 100_000.0
+NUM_ENVS = 1800
+N_STEPS = 50          # steps per timed scan call
+N_REPS = 4
+
+
+def build_env():
+    from legged_gym_tpu import registry
+
+    cfg, _ = registry.get_cfgs("go1")
+    # rough-terrain variant (BASELINE.json config 2)
+    cfg.env.num_envs = NUM_ENVS
+    cfg.env.num_observations = 235
+    cfg.terrain.mesh_type = "heightfield"
+    cfg.terrain.measure_heights = True
+    cfg.terrain.curriculum = True
+    env, _ = registry.make_env(cfg=cfg)
+    return env
+
+
+def main():
+    from legged_gym_tpu.utils.cache import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    env = build_env()
+
+    def rollout(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.normal(
+                k, (NUM_ENVS, env.num_actions), jnp.float32)
+            state, tr = env.step(state, actions)
+            return (state, key), tr.reward.mean()
+
+        (state, key), rews = jax.lax.scan(body, (state, key), None,
+                                          length=N_STEPS)
+        return state, rews.mean()
+
+    rollout = jax.jit(rollout, donate_argnums=0)
+
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    state, r = rollout(state, key)
+    jax.block_until_ready(r)
+
+    best = 0.0
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        state, r = rollout(state, key)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        best = max(best, NUM_ENVS * N_STEPS / dt)
+
+    print(json.dumps({
+        "metric": "go1_rough_env_steps_per_s_per_chip_1800env",
+        "value": round(best, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / ISAAC_BASELINE_STEPS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from legged_gym_tpu.parallel.sharding import (env_mesh, shard_batch,
+                                              shard_env_state,
+                                              replicate)
+
+__all__ = ["env_mesh", "shard_batch", "shard_env_state", "replicate"]

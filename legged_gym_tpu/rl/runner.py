@@ -1,0 +1,159 @@
+"""Host-side training runner (the rsl_rl ``OnPolicyRunner`` equivalent,
+interface per task_registry.py:160-167 / train.py:43).
+
+Everything hot is inside the jitted ``learn_iteration``; this class only
+orchestrates: iteration loop, steps/s metering, checkpoint save/load
+(orbax), TensorBoard-style scalar logging (plain JSONL + optional
+tensorboardX if available), and inference-policy export.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legged_gym_tpu.rl import networks as nets
+from legged_gym_tpu.rl.ppo import (TrainState, init_train_state,
+                                   make_learn_fn, make_optimizer)
+
+
+class PPORunner:
+    def __init__(self, env, train_cfg, log_dir=None, seed=None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        seed = train_cfg.seed if seed is None else seed
+
+        key = jax.random.PRNGKey(seed)
+        k_ts, self.reset_key = jax.random.split(key)
+        self.train_state = init_train_state(
+            k_ts, env.obs_dim, env.num_actions, train_cfg.policy,
+            train_cfg.algorithm)
+        self.learn_fn = jax.jit(make_learn_fn(
+            env, train_cfg.policy, train_cfg.algorithm,
+            train_cfg.runner.num_steps_per_env))
+        self.env_state = None
+        self.obs = None
+        self.current_iteration = 0
+        self._log_fh = None
+        if log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            self._log_fh = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    # ------------------------------------------------------------ learning
+
+    def _ensure_env_state(self, init_at_random_ep_len=False):
+        if self.env_state is None:
+            self.env_state, self.obs = self.env.reset(self.reset_key)
+            if init_at_random_ep_len:
+                # reference train.py:43 randomizes initial episode
+                # progress to decorrelate resets
+                import dataclasses as dc
+                n = self.env.num_envs
+                lengths = jax.random.randint(
+                    jax.random.fold_in(self.reset_key, 1), (n,), 0,
+                    self.env.max_episode_length, jnp.int32)
+                self.env_state = dc.replace(self.env_state,
+                                            episode_length=lengths)
+
+    def learn(self, num_iterations, init_at_random_ep_len=False):
+        self._ensure_env_state(init_at_random_ep_len)
+        steps_per_iter = (self.cfg.runner.num_steps_per_env
+                          * self.env.num_envs)
+        for it in range(self.current_iteration,
+                        self.current_iteration + num_iterations):
+            t0 = time.time()
+            self.train_state, self.env_state, self.obs, metrics = \
+                self.learn_fn(self.train_state, self.env_state, self.obs)
+            metrics = jax.tree.map(lambda x: float(np.asarray(x)), metrics)
+            dt = time.time() - t0
+            metrics["iteration"] = it
+            metrics["steps_per_s"] = steps_per_iter / dt
+            self._log(metrics, it)
+            if (it + 1) % self.cfg.runner.save_interval == 0:
+                self.save(os.path.join(self.log_dir or ".",
+                                       f"model_{it + 1}.ckpt"))
+        self.current_iteration += num_iterations
+        if self.log_dir is not None:
+            self.save(os.path.join(self.log_dir,
+                                   f"model_{self.current_iteration}.ckpt"))
+
+    def _log(self, metrics, it):
+        if self._log_fh is not None:
+            self._log_fh.write(json.dumps(metrics) + "\n")
+            self._log_fh.flush()
+        if it % 10 == 0:
+            ep = metrics.get("episode", {})
+            track = ep.get("tracking_lin_vel", 0.0)
+            print(f"it {it:5d} | {metrics['steps_per_s']:.0f} steps/s | "
+                  f"rew/step {metrics['mean_step_reward']:.4f} | "
+                  f"track {track:.3f} | kl {metrics['kl']:.4f} | "
+                  f"lr {metrics['lr']:.2e}")
+
+    # ---------------------------------------------------------- checkpoint
+
+    def save(self, path):
+        """Orbax checkpoint of (params, opt_state, lr, iteration) —
+        the model_<it>.pt analog (reference save cadence
+        legged_robot_config.py:248)."""
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        ckpt = {
+            "params": self.train_state.params,
+            "opt_state": self.train_state.opt_state,
+            "lr": self.train_state.lr,
+            "key": self.train_state.key,
+            "iteration": self.current_iteration,
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, ckpt, force=True)
+
+    def load(self, path, load_optimizer=True):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        tmpl = {
+            "params": self.train_state.params,
+            "opt_state": self.train_state.opt_state,
+            "lr": self.train_state.lr,
+            "key": self.train_state.key,
+            "iteration": 0,
+        }
+        ckpt = ckptr.restore(os.path.abspath(path), item=tmpl)
+        ts = self.train_state
+        self.train_state = TrainState(
+            params=ckpt["params"],
+            opt_state=ckpt["opt_state"] if load_optimizer else ts.opt_state,
+            lr=jnp.asarray(ckpt["lr"]), key=jnp.asarray(ckpt["key"]))
+        self.current_iteration = int(ckpt["iteration"])
+        return ckpt
+
+    # ----------------------------------------------------------- inference
+
+    def get_inference_policy(self):
+        """Deterministic jitted actor: obs (N, D) -> actions (N, na)
+        (rsl_rl get_inference_policy equivalent, play.py:66)."""
+        act = nets.activation_fn(self.cfg.policy.activation)
+        params = self.train_state.params
+
+        @jax.jit
+        def policy(obs):
+            return nets.actor_mean(params, obs, act)
+
+        return policy
+
+    def export_policy(self, path):
+        """Serialize the actor for deployment (TorchScript-export analog,
+        helpers.py:180-190): saves params + an apply spec as .npz."""
+        params = jax.device_get(self.train_state.params)
+        flat = {}
+        for i, layer in enumerate(params["actor"]):
+            flat[f"w{i}"] = np.asarray(layer["w"])
+            flat[f"b{i}"] = np.asarray(layer["b"])
+        flat["activation"] = np.asarray(self.cfg.policy.activation)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, **flat)
+        return path

@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache: the fused env/train step is a large
+program (~2-4 min cold compile on CPU backends); caching makes every
+subsequent process start instantly. Call once before first jit."""
+import os
+
+
+def enable_compilation_cache(path=None):
+    import jax
+    path = path or os.environ.get(
+        "LEGGED_GYM_TPU_CACHE",
+        os.path.expanduser("~/.cache/legged_gym_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
+def setup_jax(matmul_precision="highest", cache=True):
+    """Framework JAX defaults: persistent compile cache + full-f32 matmul
+    precision (TPU matmuls default to bf16, which is too coarse for
+    physics state and PPO ratio math; 'highest' = 6-pass bf16 ~ f32)."""
+    import jax
+    if cache:
+        enable_compilation_cache()
+    if matmul_precision:
+        jax.config.update("jax_default_matmul_precision", matmul_precision)
