@@ -55,7 +55,9 @@ def main():
                                           length=N_STEPS)
         return state, rews.mean()
 
-    rollout = jax.jit(rollout, donate_argnums=0)
+    # NOTE: no donate_argnums — buffer donation trips an InvalidArgument
+    # in the axon TPU backend at this state size (verified by bisection)
+    rollout = jax.jit(rollout)
 
     state, _ = env.reset(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)

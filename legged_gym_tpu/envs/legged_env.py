@@ -752,6 +752,19 @@ class LeggedEnv:
             max_command_x=lin_vel_x_range[1])
         return new_state, tr
 
+    # ------------------------------------------------------------- teleop
+
+    def set_commands(self, state: EnvState, vx, vy, wz):
+        """Override every env's velocity command (the reference's teleop
+        hook _change_cmds, legged_robot.py:970-975; consumed by
+        play_joy.py:119). Pure: returns a new state."""
+        c = state.commands
+        n = c.shape[-1]
+        c = c.at[0].set(jnp.full((n,), vx, self.dtype))
+        c = c.at[1].set(jnp.full((n,), vy, self.dtype))
+        c = c.at[2].set(jnp.full((n,), wz, self.dtype))
+        return dataclasses.replace(state, commands=c)
+
     # ------------------------------------------------------- observations
 
     def _get_heights(self, physics):
