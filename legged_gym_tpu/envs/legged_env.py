@@ -41,7 +41,9 @@ from legged_gym_tpu.physics.engine import Engine, SimConfig
 from legged_gym_tpu.physics.params import (broadcast_nominal,
                                            link_params_from_scales)
 from legged_gym_tpu.physics.state import PhysicsState
-from legged_gym_tpu.terrain.heightfield import sample_min3
+from legged_gym_tpu.terrain.heightfield import (extract_patches,
+                                                patch_sample_min3,
+                                                sample_min3)
 from legged_gym_tpu.terrain.terrain import Terrain, TerrainGrid
 
 
@@ -255,7 +257,7 @@ class LeggedEnv:
         rng = np.random.default_rng(seed + 1)
         if self.custom_origins:
             tcfg = self.cfg.terrain
-            max_init = tcfg.max_init_terrain_level
+            max_init = min(tcfg.max_init_terrain_level, tcfg.num_rows - 1)
             if not tcfg.curriculum:
                 max_init = tcfg.num_rows - 1
             self.init_terrain_levels = rng.integers(
@@ -465,6 +467,14 @@ class LeggedEnv:
         rng, k_cmd, k_push, k_noise, k_reset, k_dr, k_lvl = \
             jax.random.split(state.rng, 7)
 
+        # per-env terrain window, extracted once per policy step; all
+        # contact + height-scan queries run against it as MXU matmuls
+        # instead of HBM gathers (see terrain/heightfield.py)
+        patch = None
+        if self.grid is not None:
+            patch = extract_patches(self.grid, state.physics.pos[0],
+                                    state.physics.pos[1])
+
         # ---- actuation + decimation x sim (legged_robot.py:89-99) ----
         ctrl = cfg.control.control_type
         nq = self.num_dof
@@ -485,7 +495,7 @@ class LeggedEnv:
                        "c": c.reshape(act["c"].shape)}
                 phys, info = self.engine.step_torques(
                     phys, state.link_params, state.friction,
-                    tau.reshape(nq, n))
+                    tau.reshape(nq, n), patch=patch)
                 return (phys, act), info
 
             (physics, actuator_state), infos = jax.lax.scan(
@@ -511,7 +521,8 @@ class LeggedEnv:
                     tau = jnp.clip(kp * (targets - phys.q)
                                    - kd * (phys.qd - dvel), -lim, lim)
                     phys, info = self.engine.step_torques(
-                        phys, state.link_params, state.friction, tau)
+                        phys, state.link_params, state.friction, tau,
+                        patch=patch)
                     return (phys, act), info
 
                 (physics, actuator_state), infos = jax.lax.scan(
@@ -520,7 +531,8 @@ class LeggedEnv:
             else:
                 def sim_body(phys, _):
                     phys, info = self.engine.step_pos_targets(
-                        phys, state.link_params, state.friction, targets)
+                        phys, state.link_params, state.friction, targets,
+                        patch=patch)
                     return phys, info
 
                 physics, infos = jax.lax.scan(
@@ -532,7 +544,8 @@ class LeggedEnv:
 
             def sim_body(phys, _):
                 phys, info = self.engine.step_torques(
-                    phys, state.link_params, state.friction, tau)
+                    phys, state.link_params, state.friction, tau,
+                    patch=patch)
                 return phys, info
 
             physics, infos = jax.lax.scan(sim_body, state.physics, None,
@@ -575,7 +588,7 @@ class LeggedEnv:
 
         # height scan (:818-854)
         if self.measure_heights:
-            measured = self._get_heights(physics)       # (P, N)
+            measured = self._get_heights(physics, patch)   # (P, N)
         else:
             measured = jnp.zeros((1, n), self.dtype)
 
@@ -597,9 +610,9 @@ class LeggedEnv:
 
         # ---- termination (:143-148) ----
         if len(self.term_idx):
-            tf = contact_f[jnp.asarray(self.term_idx)]   # (k, 3, N)
+            tf = contact_f[:, jnp.asarray(self.term_idx)]   # (3, k, N)
             term = jnp.any(
-                jnp.linalg.norm(tf, axis=1) > 1.0, axis=0)
+                jnp.linalg.norm(tf, axis=0) > 1.0, axis=0)
         else:
             term = jnp.zeros(n, bool)
         time_out = episode_length > self.max_episode_length
@@ -618,7 +631,7 @@ class LeggedEnv:
 
         # stateful feet_air_time term computed inline (:941-949)
         if len(self.feet_idx):
-            fz = contact_f[jnp.asarray(self.feet_idx), 2]       # (nf, N)
+            fz = contact_f[2, jnp.asarray(self.feet_idx)]       # (nf, N)
             contact = fz > 1.0
             first_contact = (feet_air_time > 0.0) & contact
             feet_air_time = feet_air_time + self.dt
@@ -767,7 +780,7 @@ class LeggedEnv:
 
     # ------------------------------------------------------- observations
 
-    def _get_heights(self, physics):
+    def _get_heights(self, physics, patch=None):
         """Yaw-rotated height scan, min-of-3-cells rule (:818-854)."""
         if self.grid is None:
             return jnp.zeros((self.num_height_points, physics.n),
@@ -781,6 +794,8 @@ class LeggedEnv:
                                   p3[:, :, None])
         x = rot[0] + physics.pos[0][None, :]
         y = rot[1] + physics.pos[1][None, :]
+        if patch is not None:
+            return patch_sample_min3(self.grid, patch, x, y)
         return sample_min3(self.grid, x, y)
 
     def _compute_obs(self, physics, base_lin_vel, base_ang_vel,
@@ -851,9 +866,9 @@ class LeggedEnv:
     def _reward_collision(self, c):
         if not len(self.penal_idx):
             return jnp.zeros(c["physics"].n, self.dtype)
-        f = c["contact_forces"][jnp.asarray(self.penal_idx)]
+        f = c["contact_forces"][:, jnp.asarray(self.penal_idx)]
         return jnp.sum(
-            (jnp.linalg.norm(f, axis=1) > 0.1).astype(self.dtype), axis=0)
+            (jnp.linalg.norm(f, axis=0) > 0.1).astype(self.dtype), axis=0)
 
     def _reward_dof_pos_limits(self, c):
         q = c["physics"].q
@@ -887,9 +902,9 @@ class LeggedEnv:
         return c["feet_air_time_reward"]
 
     def _reward_stumble(self, c):
-        f = c["contact_forces"][jnp.asarray(self.feet_idx)]  # (nf, 3, N)
-        lateral = jnp.linalg.norm(f[:, :2], axis=1)
-        return jnp.any(lateral > 5.0 * jnp.abs(f[:, 2]),
+        f = c["contact_forces"][:, jnp.asarray(self.feet_idx)]  # (3, nf, N)
+        lateral = jnp.linalg.norm(f[:2], axis=0)
+        return jnp.any(lateral > 5.0 * jnp.abs(f[2]),
                        axis=0).astype(self.dtype)
 
     _reward_feet_stumble = _reward_stumble
@@ -901,9 +916,9 @@ class LeggedEnv:
         return dq * (jnp.linalg.norm(c["commands"][:2], axis=0) < 0.1)
 
     def _reward_feet_contact_forces(self, c):
-        f = c["contact_forces"][jnp.asarray(self.feet_idx)]
+        f = c["contact_forces"][:, jnp.asarray(self.feet_idx)]
         return jnp.sum(jnp.maximum(
-            jnp.linalg.norm(f, axis=1)
+            jnp.linalg.norm(f, axis=0)
             - self.cfg.rewards.max_contact_force, 0.0), axis=0)
 
     def _reward_hip_motion(self, c):
@@ -914,6 +929,6 @@ class LeggedEnv:
 
     def _reward_no_fly(self, c):
         """Cassie: exactly one foot in contact (cassie.py:43-46)."""
-        f = c["contact_forces"][jnp.asarray(self.feet_idx), 2]
+        f = c["contact_forces"][2, jnp.asarray(self.feet_idx)]
         single = jnp.sum((f > 0.1).astype(self.dtype), axis=0) == 1
         return single.astype(self.dtype)

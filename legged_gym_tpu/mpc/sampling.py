@@ -69,10 +69,15 @@ class SamplingMPC:
             phys, cost = carry
             targets = jnp.clip(a * env.cfg.control.action_scale + dflt,
                                lo, hi)
+            patch = None
+            if env.grid is not None:
+                from legged_gym_tpu.terrain.heightfield import \
+                    extract_patches
+                patch = extract_patches(env.grid, phys.pos[0], phys.pos[1])
 
             def sim_body(p, _):
                 p, info = env.engine.step_pos_targets(
-                    p, link_params, friction, targets)
+                    p, link_params, friction, targets, patch=patch)
                 return p, info
 
             phys, info = jax.lax.scan(sim_body, phys, None,
@@ -97,7 +102,7 @@ class SamplingMPC:
             c = c + 0.1 * jnp.sum(jnp.square(g[:2]), axis=0) * env.dt
             if term_idx is not None:
                 bad = jnp.any(jnp.linalg.norm(
-                    contact_f[term_idx], axis=1) > 1.0, axis=0)
+                    contact_f[:, term_idx], axis=0) > 1.0, axis=0)
                 c = c + self.cfg.termination_cost * bad * env.dt
             return (phys, cost + c), None
 

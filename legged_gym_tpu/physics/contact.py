@@ -21,7 +21,8 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from legged_gym_tpu.terrain.heightfield import sample_bilinear
+from legged_gym_tpu.terrain.heightfield import (patch_sample_bilinear,
+                                                sample_bilinear)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,30 +32,38 @@ class ContactConfig:
     slip_velocity: float = 0.05    # m/s, Coulomb regularization knee
     terrain_friction: float = 1.0  # static friction of the ground
     restitution: float = 0.0       # kept for config parity (unused)
+    # implicit stabilization (lets the engine run ONE 5 ms substep like
+    # PhysX TGS instead of 4 explicit 1.25 ms substeps):
+    # - normal force divided by (1 + dt(c + dt k)/m_eff): the compliant
+    #   contact solved implicitly against the point's effective mass;
+    # - friction tangential gain capped at m_eff/dt so one step can at
+    #   most zero the slip velocity, never reverse it.
+    implicit: bool = True
 
 
-def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction):
-    """Compute per-point world contact forces.
+def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
+                   dt=None, m_eff=None, patch=None):
+    """Compute per-point world contact forces (stacked layout).
 
     Args:
       model: RobotModel.
       grid: TerrainGrid or None (flat plane z=0).
       cfg: ContactConfig.
-      cp_pos / cp_vel: (P, 3, N) world position/velocity of the collision
+      cp_pos / cp_vel: (3, P, N) world position/velocity of the collision
         points (from kinematics.contact_point_kinematics).
       friction: (N,) per-env friction coefficient (domain randomized,
         reference legged_robot.py:259-282).
+      dt: substep length (required when cfg.implicit).
+      m_eff: (P,) effective mass per point (owning-link nominal mass).
 
     Returns:
-      (f_pts (P, 3, N) world forces,
-       body_forces (nb, 3, N) accumulated per report body,
-       link_f (nl, 3, N), link_n (nl, 3, N) world wrenches about link
-       origins — requires link world poses, so the torque arm is taken
-       about the POINT and moments are assembled by the caller; here we
-       return per-point forces and let engine.py do the wrench assembly.)
+      f_pts (3, P, N) world forces per collision point.
     """
-    x, y, z = cp_pos[:, 0], cp_pos[:, 1], cp_pos[:, 2]   # (P, N)
-    h, dhdx, dhdy = sample_bilinear(grid, x, y)
+    x, y, z = cp_pos[0], cp_pos[1], cp_pos[2]            # (P, N)
+    if patch is not None and grid is not None:
+        h, dhdx, dhdy = patch_sample_bilinear(grid, patch, x, y)
+    else:
+        h, dhdx, dhdy = sample_bilinear(grid, x, y)
 
     # unit terrain normal
     inv_norm = 1.0 / jnp.sqrt(1.0 + dhdx * dhdx + dhdy * dhdy)
@@ -65,12 +74,14 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction):
     depth = r + (h - z) * nz
     active = depth > 0.0
 
-    vx, vy, vz = cp_vel[:, 0], cp_vel[:, 1], cp_vel[:, 2]
+    vx, vy, vz = cp_vel[0], cp_vel[1], cp_vel[2]
     v_n = vx * nx + vy * ny + vz * nz
-    fn_mag = jnp.where(active,
-                       jnp.maximum(cfg.stiffness * depth - cfg.damping * v_n,
-                                   0.0),
-                       0.0)
+    fn_raw = jnp.maximum(cfg.stiffness * depth - cfg.damping * v_n, 0.0)
+    if cfg.implicit:
+        me = jnp.asarray(m_eff, cp_pos.dtype)[:, None]          # (P, 1)
+        fn_raw = fn_raw / (1.0 + dt * (cfg.damping
+                                       + dt * cfg.stiffness) / me)
+    fn_mag = jnp.where(active, fn_raw, 0.0)
 
     # tangential velocity and regularized Coulomb friction
     vtx = vx - v_n * nx
@@ -80,41 +91,36 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction):
     mu = 0.5 * (friction[None, :] + cfg.terrain_friction)
     # |f_t| = mu f_n * vt / (vt + v_slip): saturating, zero at rest
     ft_over_vt = mu * fn_mag / (vt + cfg.slip_velocity)
+    if cfg.implicit:
+        # impulse cap: one substep can at most stop the slip
+        ft_over_vt = jnp.minimum(ft_over_vt, me / dt)
 
     fx = fn_mag * nx - ft_over_vt * vtx
     fy = fn_mag * ny - ft_over_vt * vty
     fz = fn_mag * nz - ft_over_vt * vtz
-    f_pts = jnp.stack([fx, fy, fz], axis=1)               # (P, 3, N)
-    return f_pts
+    return jnp.stack([fx, fy, fz])                       # (3, P, N)
 
 
 def accumulate_body_forces(model, f_pts):
-    """Per-report-body net contact force (nb, 3, N) — the analogue of
-    Isaac's net_contact_force tensor."""
+    """Per-report-body net contact force (3, nb, N) — the analogue of
+    Isaac's net_contact_force tensor. One scatter-add along the tiny
+    body axis."""
     nb = model.num_bodies
-    out = [None] * nb
-    for k in range(f_pts.shape[0]):
-        b = int(model.cp_body[k])
-        out[b] = f_pts[k] if out[b] is None else out[b] + f_pts[k]
-    zero = jnp.zeros_like(f_pts[0])
-    return jnp.stack([o if o is not None else zero for o in out])
+    out = jnp.zeros((3, nb) + f_pts.shape[2:], f_pts.dtype)
+    return out.at[:, model.cp_body].add(f_pts)
 
 
 def accumulate_link_wrenches(model, fk, cp_pos, f_pts):
-    """World wrenches (force, torque about link origin) per link."""
+    """World wrenches (force (3, nl, N), torque about link origin
+    (3, nl, N)) accumulated per link via scatter-add."""
+    li = model.cp_link
+    arm = cp_pos - fk.p_w[:, li]                         # (3, P, N)
+    n = jnp.stack([
+        arm[1] * f_pts[2] - arm[2] * f_pts[1],
+        arm[2] * f_pts[0] - arm[0] * f_pts[2],
+        arm[0] * f_pts[1] - arm[1] * f_pts[0],
+    ])
     nl = model.nl
-    zero = jnp.zeros_like(f_pts[0])
-    link_f = [zero] * nl
-    link_n = [zero] * nl
-    for k in range(f_pts.shape[0]):
-        li = int(model.cp_link[k])
-        f = f_pts[k]
-        arm = cp_pos[k] - fk.p_w[li]
-        n = jnp.stack([
-            arm[1] * f[2] - arm[2] * f[1],
-            arm[2] * f[0] - arm[0] * f[2],
-            arm[0] * f[1] - arm[1] * f[0],
-        ])
-        link_f[li] = link_f[li] + f
-        link_n[li] = link_n[li] + n
-    return jnp.stack(link_f), jnp.stack(link_n)
+    link_f = jnp.zeros((3, nl) + f_pts.shape[2:], f_pts.dtype)
+    link_n = jnp.zeros_like(link_f)
+    return link_f.at[:, li].add(f_pts), link_n.at[:, li].add(n)

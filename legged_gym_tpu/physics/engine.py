@@ -46,7 +46,7 @@ class SimConfig:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SimInfo:
-    body_forces: jnp.ndarray   # (nb, 3, N) net contact force per report body
+    body_forces: jnp.ndarray   # (3, nb, N) net contact force per report body
     torques: jnp.ndarray       # (nq, N) applied joint torques (sensor)
 
 
@@ -66,6 +66,13 @@ class Engine:
         self.kd = np.zeros(nq) if kd is None else np.asarray(kd, float)
         self.torque_limit = np.asarray(model.dof_effort, float)
         self.dt_inner = sim.dt / sim.substeps
+        # per-contact-point effective mass (owning link's nominal mass)
+        # for the implicit contact stabilization
+        link_mass = np.zeros(model.nl)
+        for b in range(model.n_orig):
+            link_mass[model.contrib_link[b]] += model.contrib[b, 0]
+        self.cp_m_eff = (link_mass[model.cp_link]
+                         if len(model.cp_link) else np.zeros(0))
         # implicit joint-space diagonal: URDF damping + PD kd + dt*kp
         self._imp_pd = (self.dt_inner
                         * (self.kd + self.dt_inner * self.kp
@@ -75,18 +82,21 @@ class Engine:
         self._has_joint_damping = bool(np.any(model.dof_damping != 0.0))
 
     # ---- one inner substep ----
-    def _substep(self, state, inertia_params, friction, tau_fn, implicit_d):
+    def _substep(self, state, inertia_params, friction, tau_fn, implicit_d,
+                 patch=None):
         fk = forward_kinematics(self.model, state)
         if len(self.model.cp_link):
             cp_pos, cp_vel = contact_point_kinematics(self.model, fk)
             f_pts = contact_forces(self.model, self.grid, self.sim.contact,
-                                   cp_pos, cp_vel, friction)
+                                   cp_pos, cp_vel, friction,
+                                   dt=self.dt_inner, m_eff=self.cp_m_eff,
+                                   patch=patch)
             link_f, link_n = accumulate_link_wrenches(self.model, fk,
                                                       cp_pos, f_pts)
             body_forces = accumulate_body_forces(self.model, f_pts)
         else:
             link_f = link_n = None
-            body_forces = jnp.zeros((self.model.num_bodies, 3, state.n),
+            body_forces = jnp.zeros((3, self.model.num_bodies, state.n),
                                     state.pos.dtype)
         tau = tau_fn(state)
         if self._has_joint_damping:
@@ -100,25 +110,27 @@ class Engine:
         return new_state, SimInfo(body_forces=body_forces, torques=tau)
 
     def _run_substeps(self, state, inertia_params, friction, tau_fn,
-                      implicit_d):
+                      implicit_d, patch=None):
         def body(carry, _):
             s, _info = carry
             return self._substep(s, inertia_params, friction, tau_fn,
-                                 implicit_d), None
+                                 implicit_d, patch=patch), None
 
         nb, nq, n = self.model.num_bodies, self.model.nq, state.n
-        info0 = SimInfo(body_forces=jnp.zeros((nb, 3, n), state.pos.dtype),
+        info0 = SimInfo(body_forces=jnp.zeros((3, nb, n), state.pos.dtype),
                         torques=jnp.zeros((nq, n), state.pos.dtype))
         (state, info), _ = jax.lax.scan(body, (state, info0), None,
                                         length=self.sim.substeps)
         return state, info
 
     # ---- public drive modes (one sim dt each) ----
-    def step_pos_targets(self, state, inertia_params, friction, targets):
+    def step_pos_targets(self, state, inertia_params, friction, targets,
+                         patch=None):
         """Position-drive sim step (reference legged_robot.py:93-96).
 
         targets: (nq, N), already scaled/offset/clipped by the env
         (_compute_poses semantics, legged_robot.py:394-397).
+        patch: optional per-env TerrainPatch (fast contact sampling).
         """
         kp = jnp.asarray(self.kp, state.pos.dtype)[:, None]
         kd_eff = jnp.asarray(self.kd + self.dt_inner * self.kp,
@@ -129,9 +141,11 @@ class Engine:
             return jnp.clip(kp * (targets - s.q) - kd_eff * s.qd, -lim, lim)
 
         return self._run_substeps(state, inertia_params, friction, tau_fn,
-                                  jnp.asarray(self._imp_pd, state.pos.dtype))
+                                  jnp.asarray(self._imp_pd, state.pos.dtype),
+                                  patch=patch)
 
-    def step_torques(self, state, inertia_params, friction, tau):
+    def step_torques(self, state, inertia_params, friction, tau,
+                     patch=None):
         """Torque-drive sim step: tau (nq, N) held over the sim dt, clipped
         to the URDF effort limits (reference _compute_torques:392)."""
         lim = jnp.asarray(self.torque_limit, state.pos.dtype)[:, None]
@@ -142,4 +156,5 @@ class Engine:
 
         return self._run_substeps(state, inertia_params, friction, tau_fn,
                                   jnp.asarray(self._imp_passive,
-                                              state.pos.dtype))
+                                              state.pos.dtype),
+                                  patch=patch)

@@ -1,9 +1,16 @@
-"""Forward kinematics over the link tree, batch-last.
+"""Forward kinematics over the link tree — stacked, level-parallel,
+batch-last.
 
-Computes world poses and link-frame spatial velocities for every dynamic
-link, plus the per-joint local transforms consumed by the ABA dynamics.
-Static Python loop over the (small, fixed) link tree — unrolled at trace
-time, every op an elementwise vector op over the trailing env axis.
+Layout rule: matrix axes FIRST, entity axis second-to-last, env axis LAST:
+``R_w (3, 3, nl, N)``, ``p_w (3, nl, N)``. Every ops/lin function indexes
+the leading matrix axes and broadcasts the rest, so one call processes a
+whole tree LEVEL (all 4 legs of a quadruped at once). This shrinks the
+sequential op chain from O(nq) to O(tree depth) — the physics is
+latency-bound on TPU (tiny tensors, long dependency chains), so chain
+length is the cost model, not FLOPs.
+
+Levels are precomputed on the host from the parent table
+(``tree_levels``); within a level all joints are independent.
 """
 from __future__ import annotations
 
@@ -11,6 +18,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from legged_gym_tpu.ops import lin, quat as quat_ops
 
@@ -18,27 +26,40 @@ from legged_gym_tpu.ops import lin, quat as quat_ops
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FK:
-    # per-link world pose; lists of length nl with (3,3,N)/(3,N) entries
-    R_w: list
-    p_w: list
-    # per-link spatial velocity (omega, v at link origin) in LINK frame
-    v_ang: list
-    v_lin: list
-    # per-joint local child-in-parent transform (R (3,3,N), p (3,N) or const)
-    R_loc: list
-    p_loc: list
+    R_w: jnp.ndarray     # (3, 3, nl, N) link world rotations
+    p_w: jnp.ndarray     # (3, nl, N) link world positions
+    v_ang: jnp.ndarray   # (3, nl, N) angular velocity, LINK frame
+    v_lin: jnp.ndarray   # (3, nl, N) origin velocity, LINK frame
+    R_loc: jnp.ndarray   # (3, 3, nq, N) child-in-parent joint rotations
+    p_loc: jnp.ndarray   # (3, nq, N) child-in-parent joint offsets
 
 
-def _axis_rotation(axis, angle):
-    """Rodrigues rotation about constant unit axis: (3,3) x (N,) -> (3,3,N)."""
-    c = jnp.cos(angle)
-    s = jnp.sin(angle)
-    one_c = 1.0 - c
-    x, y, z = float(axis[0]), float(axis[1]), float(axis[2])
+def tree_levels(model):
+    """Joint indices grouped by tree depth: list of int np.ndarrays.
+    Joint j moves link j+1; depth(link) = depth(parent) + 1."""
+    depth = np.zeros(model.nl, np.int32)
+    for li in range(1, model.nl):
+        depth[li] = depth[model.link_parent[li]] + 1
+    levels = []
+    for d in range(1, depth.max() + 1 if model.nl > 1 else 1):
+        levels.append(np.nonzero(depth[1:] == d)[0].astype(np.int32))
+    return levels
+
+
+def _axis_rotations(axes, angles):
+    """Rodrigues for a stack of constant unit axes.
+
+    axes: (L, 3) host constants; angles: (L, N) -> (3, 3, L, N)."""
+    c = jnp.cos(angles)
+    s = jnp.sin(angles)
+    oc = 1.0 - c
+    x = axes[:, 0][:, None]
+    y = axes[:, 1][:, None]
+    z = axes[:, 2][:, None]
     return jnp.stack([
-        jnp.stack([c + x * x * one_c, x * y * one_c - z * s, x * z * one_c + y * s]),
-        jnp.stack([y * x * one_c + z * s, c + y * y * one_c, y * z * one_c - x * s]),
-        jnp.stack([z * x * one_c - y * s, z * y * one_c + x * s, c + z * z * one_c]),
+        jnp.stack([c + x * x * oc, x * y * oc - z * s, x * z * oc + y * s]),
+        jnp.stack([y * x * oc + z * s, c + y * y * oc, y * z * oc - x * s]),
+        jnp.stack([z * x * oc - y * s, z * y * oc + x * s, c + z * z * oc]),
     ])
 
 
@@ -46,77 +67,79 @@ def forward_kinematics(model, state) -> FK:
     """model: RobotModel (host constants), state: PhysicsState (batch-last)."""
     n = state.pos.shape[-1]
     dtype = state.pos.dtype
+    nl, nq = model.nl, model.nq
 
-    R_w = [None] * model.nl
-    p_w = [None] * model.nl
-    v_ang = [None] * model.nl
-    v_lin = [None] * model.nl
-    R_loc = [None] * model.nq
-    p_loc = [None] * model.nq
+    R_w = jnp.zeros((3, 3, nl, n), dtype)
+    p_w = jnp.zeros((3, nl, n), dtype)
+    v_ang = jnp.zeros((3, nl, n), dtype)
+    v_lin = jnp.zeros((3, nl, n), dtype)
+    R_loc = jnp.zeros((3, 3, nq, n), dtype)
+    p_loc = jnp.zeros((3, nq, n), dtype)
 
-    R_w[0] = quat_ops.to_matrix(state.quat)
-    p_w[0] = state.pos
-    v_ang[0] = state.vel[0:3]
-    v_lin[0] = state.vel[3:6]
+    R_w = R_w.at[:, :, 0].set(quat_ops.to_matrix(state.quat))
+    p_w = p_w.at[:, 0].set(state.pos)
+    v_ang = v_ang.at[:, 0].set(state.vel[0:3])
+    v_lin = v_lin.at[:, 0].set(state.vel[3:6])
 
-    for j in range(model.nq):
-        li = j + 1
-        pi = int(model.link_parent[li])
-        axis = model.joint_axis[j]
-        Rj = jnp.asarray(model.joint_rot[j], dtype)[:, :, None]  # (3,3,1)
-        pj = jnp.asarray(model.joint_pos[j], dtype)[:, None]     # (3,1)
-        qj = state.q[j]
-        qdj = state.qd[j]
-        axis_c = jnp.asarray(axis, dtype)[:, None]
+    for idx in tree_levels(model):
+        li = idx + 1
+        pi = model.link_parent[li]
+        axes = model.joint_axis[idx]                      # (L, 3) host
+        Rj = jnp.asarray(model.joint_rot[idx], dtype)     # (L, 3, 3)
+        Rj = jnp.moveaxis(Rj, 0, 2)[..., None]            # (3, 3, L, 1)
+        pj = jnp.asarray(model.joint_pos[idx].T, dtype)[:, :, None]  # (3,L,1)
+        q_l = state.q[idx]                                # (L, N)
+        qd_l = state.qd[idx]
+        axis_c = jnp.asarray(axes.T, dtype)[:, :, None]   # (3, L, 1)
+        prism = model.joint_is_prismatic[idx]             # (L,) host bools
 
-        if model.joint_is_prismatic[j]:
-            R = jnp.broadcast_to(Rj, (3, 3, n))
-            p = pj + lin.mv(Rj, axis_c * qj[None])
-            S_ang = jnp.zeros((3, n), dtype)
-            S_lin = jnp.broadcast_to(axis_c, (3, n))
+        R_rot = _axis_rotations(axes, q_l)                # (3,3,L,N)
+        if prism.any():
+            # mixed levels: prismatic joints keep identity rotation and
+            # translate along the axis (rare; handled by host-side select)
+            pm = jnp.asarray(prism, dtype)[:, None]
+            eye = lin.eye(R_rot.shape[2:], dtype)
+            R_rot = R_rot * (1 - pm) + eye * pm
+            p = pj + axis_c * (q_l * pm)[None]
+            S_ang = axis_c * (1 - pm)[None]
+            S_lin = axis_c * pm[None]
         else:
-            R = lin.mm(Rj, _axis_rotation(axis, qj))
-            p = jnp.broadcast_to(pj, (3, n))
-            S_ang = jnp.broadcast_to(axis_c, (3, n))
-            S_lin = jnp.zeros((3, n), dtype)
+            p = jnp.broadcast_to(pj, (3, len(idx), n))
+            S_ang = axis_c
+            S_lin = jnp.zeros((3, len(idx), 1), dtype)
 
-        R_loc[j] = R
-        p_loc[j] = p
-        # world pose
-        R_w[li] = lin.mm(R_w[pi], R)
-        p_w[li] = p_w[pi] + lin.mv(R_w[pi], p)
-        # velocity: v_c = X v_p + S qd  (X = child<-parent motion transform)
-        w_p, vl_p = v_ang[pi], v_lin[pi]
-        v_ang[li] = lin.mtv(R, w_p) + S_ang * qdj[None]
-        v_lin[li] = lin.mtv(R, vl_p + quat_ops.cross(w_p, p)) + S_lin * qdj[None]
+        R = lin.mm(Rj, R_rot)                             # (3,3,L,N)
+        R_loc = R_loc.at[:, :, idx].set(R)
+        p_loc = p_loc.at[:, idx].set(jnp.broadcast_to(p, (3, len(idx), n)))
+
+        Rp = R_w[:, :, pi]                                # parent world rot
+        R_w = R_w.at[:, :, li].set(lin.mm(Rp, R))
+        p_w = p_w.at[:, li].set(p_w[:, pi] + lin.mv(Rp, p))
+
+        w_p = v_ang[:, pi]
+        vl_p = v_lin[:, pi]
+        v_ang = v_ang.at[:, li].set(lin.mtv(R, w_p) + S_ang * qd_l[None])
+        v_lin = v_lin.at[:, li].set(
+            lin.mtv(R, vl_p + quat_ops.cross(w_p, p)) + S_lin * qd_l[None])
 
     return FK(R_w=R_w, p_w=p_w, v_ang=v_ang, v_lin=v_lin,
               R_loc=R_loc, p_loc=p_loc)
 
 
 def body_world_positions(model, fk):
-    """World positions of all report-body frames: (nb, 3, N)."""
-    out = []
-    for b in range(model.num_bodies):
-        li = int(model.body_link[b])
-        off = jnp.asarray(model.body_pos[b], fk.p_w[0].dtype)[:, None]
-        out.append(fk.p_w[li] + lin.mv(fk.R_w[li], off))
-    return jnp.stack(out)
+    """World positions of all report-body frames: (3, nb, N)."""
+    li = model.body_link
+    off = jnp.asarray(model.body_pos.T, fk.p_w.dtype)[:, :, None]  # (3,nb,1)
+    return fk.p_w[:, li] + lin.mv(fk.R_w[:, :, li], off)
 
 
 def contact_point_kinematics(model, fk):
-    """World position and velocity of every collision point.
-
-    Returns (pos (P, 3, N), vel (P, 3, N)).
-    """
-    pos, vel = [], []
-    for k in range(len(model.cp_link)):
-        li = int(model.cp_link[k])
-        off = jnp.asarray(model.cp_pos[k], fk.p_w[0].dtype)[:, None]
-        x = fk.p_w[li] + lin.mv(fk.R_w[li], off)
-        # point velocity in world: R (v_lin + w x off)
-        v_local = fk.v_lin[li] + quat_ops.cross(fk.v_ang[li], off)
-        v = lin.mv(fk.R_w[li], v_local)
-        pos.append(x)
-        vel.append(v)
-    return jnp.stack(pos), jnp.stack(vel)
+    """World position and velocity of every collision point:
+    (pos (3, P, N), vel (3, P, N)) — one gather, no Python loop."""
+    li = model.cp_link
+    off = jnp.asarray(model.cp_pos.T, fk.p_w.dtype)[:, :, None]    # (3,P,1)
+    R = fk.R_w[:, :, li]                                           # (3,3,P,N)
+    pos = fk.p_w[:, li] + lin.mv(R, off)
+    v_local = fk.v_lin[:, li] + quat_ops.cross(fk.v_ang[:, li], off)
+    vel = lin.mv(R, v_local)
+    return pos, vel

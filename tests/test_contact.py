@@ -51,7 +51,7 @@ def test_go1_settles_standing(setup):
     def run(s0):
         nb, nq = model.num_bodies, model.nq
         from legged_gym_tpu.physics.engine import SimInfo
-        info0 = SimInfo(body_forces=jnp.zeros((nb, 3, n)),
+        info0 = SimInfo(body_forces=jnp.zeros((3, nb, n)),
                         torques=jnp.zeros((nq, n)))
         (st, info), _ = jax.lax.scan(sim_step, (s0, info0), None, length=400)
         return st, info
@@ -67,16 +67,16 @@ def test_go1_settles_standing(setup):
     # settled: small velocities
     assert float(jnp.abs(s1.vel).max()) < 0.2
     # vertical contact force balances weight
-    fz_tot = np.asarray(info.body_forces[:, 2].sum(axis=0))
+    fz_tot = np.asarray(info.body_forces[2].sum(axis=0))
     weight = model.total_mass * 9.81
     np.testing.assert_allclose(fz_tot, weight, rtol=0.15)
     # feet carry the load
     feet = model.match_bodies("foot")
-    fz_feet = np.asarray(info.body_forces[feet, 2].sum(axis=0))
+    fz_feet = np.asarray(info.body_forces[2, feet].sum(axis=0))
     np.testing.assert_allclose(fz_feet, weight, rtol=0.2)
     # base never touches
     base = model.match_bodies("base")[0]
-    assert float(jnp.abs(info.body_forces[base]).max()) < 1.0
+    assert float(jnp.abs(info.body_forces[:, base]).max()) < 1.0
 
 
 def test_friction_holds_on_flat(setup):

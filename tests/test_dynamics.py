@@ -140,11 +140,11 @@ def test_double_pendulum_energy(tmp_path):
             I = np.array([[params[li, 4], params[li, 5], params[li, 6]],
                           [params[li, 5], params[li, 7], params[li, 8]],
                           [params[li, 6], params[li, 8], params[li, 9]]])
-            w = np.asarray(fk.v_ang[li])[:, 0]
-            v = np.asarray(fk.v_lin[li])[:, 0]
+            w = np.asarray(fk.v_ang[:, li])[:, 0]
+            v = np.asarray(fk.v_lin[:, li])[:, 0]
             ke += 0.5 * (w @ I @ w) + 0.5 * m * (v @ v) + m * (w @ np.cross(h / max(m, 1e-12), v))
-            R = np.asarray(fk.R_w[li])[:, :, 0]
-            p = np.asarray(fk.p_w[li])[:, 0]
+            R = np.asarray(fk.R_w[:, :, li])[:, :, 0]
+            p = np.asarray(fk.p_w[:, li])[:, 0]
             if m > 0:
                 com_w = p + R @ (h / m)
                 pe += m * 9.81 * com_w[2]

@@ -90,3 +90,40 @@ def test_selected_mode():
                           "step_height": 0.1, "platform_size": 3.0}
     t = Terrain(cfg, 16, seed=0)
     assert t.height_field_raw.max() > 0
+
+
+def test_patch_sampling_matches_global():
+    """Patch-based one-hot-matmul sampling must equal the global-table
+    samplers away from patch edges."""
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_tpu.terrain.heightfield import (
+        extract_patches, patch_sample_bilinear, patch_sample_min3,
+        sample_bilinear, sample_min3)
+    from legged_gym_tpu.terrain.terrain import TerrainGrid
+
+    rng = np.random.default_rng(0)
+    R = C = 100
+    h = rng.normal(size=(R, C)).astype(np.float32) * 0.2
+    grid = TerrainGrid(height=jnp.asarray(h), raw=jnp.zeros((R, C), jnp.int16),
+                       horizontal_scale=0.1, vertical_scale=0.005,
+                       border_size=2.0)
+    n = 6
+    bx = rng.uniform(0.0, 5.0, n).astype(np.float32)
+    by = rng.uniform(0.0, 5.0, n).astype(np.float32)
+    patch = extract_patches(grid, jnp.asarray(bx), jnp.asarray(by))
+    # query points within +-1 m of each base
+    P = 17
+    qx = jnp.asarray(bx[None] + rng.uniform(-1, 1, (P, n)).astype(np.float32))
+    qy = jnp.asarray(by[None] + rng.uniform(-1, 1, (P, n)).astype(np.float32))
+
+    h_p, dx_p, dy_p = patch_sample_bilinear(grid, patch, qx, qy)
+    h_g, dx_g, dy_g = sample_bilinear(grid, qx, qy)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_g), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dy_p), np.asarray(dy_g), atol=1e-4)
+
+    m_p = patch_sample_min3(grid, patch, qx, qy)
+    m_g = sample_min3(grid, qx, qy)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_g), atol=1e-5)
