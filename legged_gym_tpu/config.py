@@ -194,10 +194,10 @@ class ViewerCfg:
 @dataclass
 class SimCfg:
     dt: float = 0.005                  # [s] one engine step
-    # inner contact substeps: implicit contact stabilization keeps even 1
-    # substep (the reference's PhysX cadence, legged_robot_config.py:193)
-    # stable; 2 trades ~2x speed for less standing jitter
-    substeps: int = 2
+    # inner contact substeps: the inelastic impulse contact law is stable
+    # at 1 substep = the reference's exact PhysX cadence
+    # (legged_robot_config.py:193-194: dt 0.005, 1 substep)
+    substeps: int = 1
     gravity: list = _l(0.0, 0.0, -9.81)
     dtype: str = "float32"
 

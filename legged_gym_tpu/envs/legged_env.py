@@ -87,6 +87,7 @@ class Transition:
     # (reference reset_idx extras, legged_robot.py:182-190)
     episode_sums: dict               # name -> () float
     episode_count: jnp.ndarray       # () float
+    episode_length_sum: jnp.ndarray  # () float: sum of lengths of done eps
     terrain_level_mean: jnp.ndarray  # () float
     max_command_x: jnp.ndarray       # () float
 
@@ -724,6 +725,7 @@ class LeggedEnv:
             link_params = self._link_params(mass_scales, n)
 
         feet_air_time = feet_air_time * (~done)[None, :]
+        ep_len_sum = jnp.sum(episode_length * done)
         episode_length = jnp.where(done, 0, episode_length)
         # actuator recurrent state zeroed per reset env (anymal.py:56-60)
         if actuator_state:
@@ -761,6 +763,7 @@ class LeggedEnv:
         tr = Transition(
             obs=obs.T, reward=reward, done=done, time_out=time_out,
             episode_sums=ep_out, episode_count=jnp.sum(donef),
+            episode_length_sum=ep_len_sum.astype(self.dtype),
             terrain_level_mean=jnp.mean(terrain_level.astype(self.dtype)),
             max_command_x=lin_vel_x_range[1])
         return new_state, tr

@@ -27,18 +27,24 @@ from legged_gym_tpu.terrain.heightfield import (patch_sample_bilinear,
 
 @dataclasses.dataclass(frozen=True)
 class ContactConfig:
-    stiffness: float = 5000.0      # N/m
-    damping: float = 150.0         # N s/m (normal)
+    stiffness: float = 5000.0      # N/m (explicit mode only)
+    damping: float = 150.0         # N s/m (explicit mode only)
     slip_velocity: float = 0.05    # m/s, Coulomb regularization knee
     terrain_friction: float = 1.0  # static friction of the ground
-    restitution: float = 0.0       # kept for config parity (unused)
-    # implicit stabilization (lets the engine run ONE 5 ms substep like
-    # PhysX TGS instead of 4 explicit 1.25 ms substeps):
-    # - normal force divided by (1 + dt(c + dt k)/m_eff): the compliant
-    #   contact solved implicitly against the point's effective mass;
-    # - friction tangential gain capped at m_eff/dt so one step can at
-    #   most zero the slip velocity, never reverse it.
+    restitution: float = 0.0       # kept for config parity (zero anyway)
+    # implicit mode (default; lets the engine run 1-2 substeps per 5 ms
+    # like PhysX TGS): inelastic Baumgarte impulse law
+    #     f_n = (m_eff / dt) * max(0, baumgarte * depth / dt - v_n)
+    # — exactly the force that cancels the approach velocity and pushes
+    # out at baumgarte * depth/dt, so impacts are PLASTIC by construction
+    # (restitution 0, matching the reference config) and the law is
+    # unconditionally stable at any dt. A naive stiff spring instead
+    # bounces near-elastically at 2.5 ms and training learns to ride the
+    # velocity caps (observed). Friction gain is capped at m_eff/dt (one
+    # step can at most stop the slip, never reverse it).
     implicit: bool = True
+    baumgarte: float = 0.5         # pushout gain; static penetration
+    # d* = W dt^2 / (m_eff * baumgarte) ~= 1.8 mm for a go1 foot
 
 
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
@@ -76,11 +82,13 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
 
     vx, vy, vz = cp_vel[0], cp_vel[1], cp_vel[2]
     v_n = vx * nx + vy * ny + vz * nz
-    fn_raw = jnp.maximum(cfg.stiffness * depth - cfg.damping * v_n, 0.0)
     if cfg.implicit:
         me = jnp.asarray(m_eff, cp_pos.dtype)[:, None]          # (P, 1)
-        fn_raw = fn_raw / (1.0 + dt * (cfg.damping
-                                       + dt * cfg.stiffness) / me)
+        v_push = cfg.baumgarte * depth / dt
+        fn_raw = (me / dt) * jnp.maximum(v_push - v_n, 0.0)
+    else:
+        fn_raw = jnp.maximum(
+            cfg.stiffness * depth - cfg.damping * v_n, 0.0)
     fn_mag = jnp.where(active, fn_raw, 0.0)
 
     # tangential velocity and regularized Coulomb friction

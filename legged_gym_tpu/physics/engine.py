@@ -41,6 +41,19 @@ class SimConfig:
     substeps: int = 4                 # inner contact substeps per sim dt
     gravity: tuple = (0.0, 0.0, -9.81)
     contact: ContactConfig = dataclasses.field(default_factory=ContactConfig)
+    # joint-limit spring-damper (PhysX enforces URDF position limits as
+    # hard constraints; without this a clipped PD can windmill a leg past
+    # its limits and pump energy unboundedly — observed blow-up)
+    limit_stiffness: float = 300.0    # N*m/rad beyond the URDF limit
+    limit_damping: float = 6.0
+    # joint velocity cap (PhysX maxJointVelocity analog); scaled on top
+    # of the URDF velocity limit
+    vel_limit_scale: float = 2.0
+    # base velocity backstops (Isaac asset max_angular/linear_velocity
+    # default 1000, legged_robot_config.py:120-121; lower values only
+    # bound runaway states, never normal locomotion)
+    max_base_ang_vel: float = 100.0
+    max_base_lin_vel: float = 100.0
 
 
 @jax.tree_util.register_dataclass
@@ -99,14 +112,36 @@ class Engine:
             body_forces = jnp.zeros((3, self.model.num_bodies, state.n),
                                     state.pos.dtype)
         tau = tau_fn(state)
+        tau_total = tau
         if self._has_joint_damping:
-            tau = tau - jnp.asarray(self.model.dof_damping,
-                                    state.pos.dtype)[:, None] * state.qd
-        a0, qdd = aba(self.model, inertia_params, fk, state.qd, tau,
+            tau_total = tau_total - jnp.asarray(
+                self.model.dof_damping, state.pos.dtype)[:, None] * state.qd
+        # joint-limit spring-damper (implicitly damped when active)
+        k_lim, c_lim = self.sim.limit_stiffness, self.sim.limit_damping
+        if k_lim > 0:
+            lo = jnp.asarray(self.model.dof_lower,
+                             state.pos.dtype)[:, None]
+            hi = jnp.asarray(self.model.dof_upper,
+                             state.pos.dtype)[:, None]
+            over = jnp.maximum(state.q - hi, 0.0)
+            under = jnp.maximum(lo - state.q, 0.0)
+            active = ((over > 0) | (under > 0)).astype(state.pos.dtype)
+            tau_total = tau_total + k_lim * (under - over) \
+                - c_lim * active * state.qd
+            implicit_d = implicit_d + self.dt_inner * (
+                c_lim + self.dt_inner * k_lim) * active
+        a0, qdd = aba(self.model, inertia_params, fk, state.qd, tau_total,
                       f_ext_w=link_f, n_ext_w=link_n,
                       gravity=self.sim.gravity, fixed_base=self.fixed_base,
                       implicit_d=implicit_d)
-        new_state = integrate(state, a0, qdd, self.dt_inner)
+        vcap = None
+        if self.sim.vel_limit_scale:
+            vcap = jnp.asarray(self.model.dof_vel_limit
+                               * self.sim.vel_limit_scale,
+                               state.pos.dtype)[:, None]
+        new_state = integrate(state, a0, qdd, self.dt_inner, qd_cap=vcap,
+                              base_ang_cap=self.sim.max_base_ang_vel,
+                              base_lin_cap=self.sim.max_base_lin_vel)
         return new_state, SimInfo(body_forces=body_forces, torques=tau)
 
     def _run_substeps(self, state, inertia_params, friction, tau_fn,

@@ -13,9 +13,21 @@ from legged_gym_tpu.ops import quat as quat_ops
 from legged_gym_tpu.physics.state import PhysicsState
 
 
-def integrate(state: PhysicsState, a_base, qdd, dt) -> PhysicsState:
+def integrate(state: PhysicsState, a_base, qdd, dt, qd_cap=None,
+              base_ang_cap=None, base_lin_cap=None) -> PhysicsState:
+    """Velocity caps are applied BEFORE the position update (PhysX
+    maxJointVelocity / max_angular_velocity / max_linear_velocity
+    analogs — they also keep runaway states finite)."""
     vel = state.vel + dt * a_base
+    if base_ang_cap is not None:
+        vel = vel.at[0:3].set(jnp.clip(vel[0:3], -base_ang_cap,
+                                       base_ang_cap))
+    if base_lin_cap is not None:
+        vel = vel.at[3:6].set(jnp.clip(vel[3:6], -base_lin_cap,
+                                       base_lin_cap))
     qd = state.qd + dt * qdd
+    if qd_cap is not None:
+        qd = jnp.clip(qd, -qd_cap, qd_cap)
     pos = state.pos + dt * quat_ops.rotate(state.quat, vel[3:6])
     quat = quat_ops.integrate(state.quat, vel[0:3], dt)
     q = state.q + dt * qd

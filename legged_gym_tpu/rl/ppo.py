@@ -74,6 +74,7 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
                         std=std, value=value, reward=tr.reward,
                         done=tr.done, time_out=tr.time_out,
                         ep_sums=tr.episode_sums, ep_count=tr.episode_count,
+                        ep_len_sum=tr.episode_length_sum,
                         terrain_level=tr.terrain_level_mean,
                         max_command_x=tr.max_command_x)
             return (env_state, tr.obs, key), data
@@ -178,6 +179,8 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             "lr": lr,
             "mean_step_reward": batch["reward"].mean(),
             "episode_count": ep_count,
+            "mean_episode_length": (jnp.sum(batch["ep_len_sum"])
+                                    / jnp.maximum(ep_count, 1.0)),
             "terrain_level": batch["terrain_level"][-1],
             "max_command_x": batch["max_command_x"][-1],
             "episode": {

@@ -90,7 +90,8 @@ class PPORunner:
             ep = metrics.get("episode", {})
             track = ep.get("tracking_lin_vel", 0.0)
             print(f"it {it:5d} | {metrics['steps_per_s']:.0f} steps/s | "
-                  f"rew/step {metrics['mean_step_reward']:.4f} | "
+                  f"rew/step {metrics['mean_step_reward']:.5f} | "
+                  f"eplen {metrics.get('mean_episode_length', 0):.0f} | "
                   f"track {track:.3f} | kl {metrics['kl']:.4f} | "
                   f"lr {metrics['lr']:.2e}")
 

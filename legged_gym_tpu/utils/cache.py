@@ -9,6 +9,9 @@ def enable_compilation_cache(path=None):
     path = path or os.environ.get(
         "LEGGED_GYM_TPU_CACHE",
         os.path.expanduser("~/.cache/legged_gym_tpu_xla"))
+    # separate cache per backend: XLA:CPU AOT artifacts embed machine
+    # features and poison caches shared across backend configs
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -45,6 +45,8 @@ class PointEnv:
             obs=self._obs(new_pos), reward=reward, done=done,
             time_out=time_out, episode_sums={},
             episode_count=jnp.sum(done.astype(jnp.float32)),
+            episode_length_sum=jnp.sum(
+                t * done).astype(jnp.float32),
             terrain_level_mean=jnp.zeros(()),
             max_command_x=jnp.zeros(()))
         return {"pos": new_pos, "t": new_t, "key": key}, tr
