@@ -90,6 +90,8 @@ class Transition:
     episode_length_sum: jnp.ndarray  # () float: sum of lengths of done eps
     terrain_level_mean: jnp.ndarray  # () float
     max_command_x: jnp.ndarray       # () float
+    torques: jnp.ndarray             # (nq, N) applied joint torques
+    feet_contact_z: jnp.ndarray      # (nf, N) vertical foot contact force
 
 
 def _match_gains(dof_names, table, kind):
@@ -765,7 +767,11 @@ class LeggedEnv:
             episode_sums=ep_out, episode_count=jnp.sum(donef),
             episode_length_sum=ep_len_sum.astype(self.dtype),
             terrain_level_mean=jnp.mean(terrain_level.astype(self.dtype)),
-            max_command_x=lin_vel_x_range[1])
+            max_command_x=lin_vel_x_range[1],
+            torques=torques,
+            feet_contact_z=(contact_f[2, jnp.asarray(self.feet_idx)]
+                            if len(self.feet_idx)
+                            else jnp.zeros((0, n), self.dtype)))
         return new_state, tr
 
     # ------------------------------------------------------------- teleop

@@ -6,9 +6,22 @@ TPU-native replacement for PhysX's articulated-dynamics solve (reference:
 links/joints with matrix axes first and env axis last (see kinematics.py),
 so the three ABA passes cost O(tree depth) sequential steps instead of
 O(nq): pass 1 is a single fused block over all links; passes 2/3 walk
-levels (depth 3 for a quadruped) with gather/scatter-add along the tiny
-link axis. On TPU — where this workload is dependency-chain-bound, not
-FLOP-bound — chain length is the whole cost model.
+levels (depth 3 for a quadruped). On TPU — where this workload is
+dependency-chain-bound, not FLOP-bound — chain length is the whole cost
+model.
+
+SCATTER-FREE BY DESIGN: link-indexed state is carried as per-link Python
+lists of (…, N) columns; levels stack the needed columns (concatenate),
+do the batched math, and split results back by static slicing. Parent
+accumulation (4 hips → base) is a Python-grouped sum; the final
+level-order → joint-order reordering of qdd is a one-hot matmul. The
+earlier formulation scatter-assembled (3, nq, N) buffers with
+``.at[].set/add`` and gathered them in pass 3; the axon TPU backend
+miscompiles that pattern when fully fused (qdd diverged 200% vs CPU and
+vs the identical graph with those buffers returned as outputs, while
+every input agreed to 1e-7; ``optimization_barrier`` did not help). The
+list form avoids in-place scatter aliasing entirely and is also the
+better XLA program: pure concat/slice/add, nothing to serialize.
 
 Algorithm: RBDA (Featherstone 2008) Table 7.1 adapted to a 6-dof floating
 base (sec. 9.4): base acceleration solves I^A_0 a_0 = -p^A_0 via a
@@ -26,7 +39,8 @@ from legged_gym_tpu.physics.kinematics import tree_levels
 
 
 def aba(model, inertia_params, fk, qd, tau, f_ext_w=None, n_ext_w=None,
-        gravity=(0.0, 0.0, -9.81), fixed_base=False, implicit_d=None):
+        gravity=(0.0, 0.0, -9.81), fixed_base=False, implicit_d=None,
+        debug=False):
     """Forward dynamics.
 
     Args:
@@ -96,26 +110,29 @@ def aba(model, inertia_params, fk, qd, tau, f_ext_w=None, n_ext_w=None,
             imp = imp[:, None]
     else:
         imp = jnp.zeros((nq, 1), dtype)
+    D_extra = jnp.broadcast_to(arm + imp, (nq, m.shape[-1]))
 
     levels = tree_levels(model)
 
-    # ---- pass 2: inward sweep by level (deepest first) ----
-    U_ang = jnp.zeros((3, nq, m.shape[-1]), dtype)
-    U_lin = jnp.zeros_like(U_ang)
-    d_inv = jnp.zeros((nq, m.shape[-1]), dtype)
-    u_bias = jnp.zeros_like(d_inv)
+    # split link-indexed state into per-link columns (static slices — the
+    # scatter-free representation, see module docstring)
+    IA_cols = [[IA_A[:, :, l], IA_B[:, :, l], IA_C[:, :, l]]
+               for l in range(nl)]
+    pA_cols = [[pA_n[:, l], pA_f[:, l]] for l in range(nl)]
 
+    # ---- pass 2: inward sweep by level (deepest first) ----
+    per_level = {}  # level key -> (Ua, Ul, di, u) each (…, k, N)
     for idx in levels[::-1]:
         li = idx + 1
         pi = model.link_parent[li]
         axis3 = jnp.asarray(model.joint_axis[idx].T, dtype)[:, :, None]
         prism = jnp.asarray(model.joint_is_prismatic[idx],
                             dtype)[None, :, None]
-        A_l = IA_A[:, :, li]
-        B_l = IA_B[:, :, li]
-        C_l = IA_C[:, :, li]
-        pn_l = pA_n[:, li]
-        pf_l = pA_f[:, li]
+        A_l = jnp.stack([IA_cols[l][0] for l in li], axis=2)   # (3,3,k,N)
+        B_l = jnp.stack([IA_cols[l][1] for l in li], axis=2)
+        C_l = jnp.stack([IA_cols[l][2] for l in li], axis=2)
+        pn_l = jnp.stack([pA_cols[l][0] for l in li], axis=1)  # (3,k,N)
+        pf_l = jnp.stack([pA_cols[l][1] for l in li], axis=1)
 
         # U = I^A S, D = S^T U, u = tau - S^T p^A (revolute/prismatic mix)
         Ua_r = lin.mv(A_l, axis3)
@@ -125,15 +142,11 @@ def aba(model, inertia_params, fk, qd, tau, f_ext_w=None, n_ext_w=None,
         Ua = Ua_r * (1 - prism) + Ua_p * prism
         Ul = Ul_r * (1 - prism) + Ul_p * prism
         D = (jnp.sum(axis3 * (Ua * (1 - prism) + Ul * prism), axis=0)
-             + arm[idx] + imp[idx])
+             + D_extra[idx])
         u = tau[idx] - jnp.sum(
             axis3 * (pn_l * (1 - prism) + pf_l * prism), axis=0)
-
         di = 1.0 / D
-        U_ang = U_ang.at[:, idx].set(Ua)
-        U_lin = U_lin.at[:, idx].set(Ul)
-        d_inv = d_inv.at[idx].set(di)
-        u_bias = u_bias.at[idx].set(u)
+        per_level[idx[0]] = (Ua, Ul, di, u)
 
         # Ia = I^A - U d^-1 U^T
         Ia_A = A_l - di[None, None] * lin.outer(Ua, Ua)
@@ -158,29 +171,28 @@ def aba(model, inertia_params, fk, qd, tau, f_ext_w=None, n_ext_w=None,
         Rf = lin.mv(R, pa_f)
         n_p = lin.mv(R, pa_n) + cross(p, Rf)
 
-        # scatter-add into parents (hips share the base: duplicate indices
-        # accumulate correctly through at[].add)
-        IA_A = IA_A.at[:, :, pi].add(A_p)
-        IA_B = IA_B.at[:, :, pi].add(B_p)
-        IA_C = IA_C.at[:, :, pi].add(RC)
-        pA_n = pA_n.at[:, pi].add(n_p)
-        pA_f = pA_f.at[:, pi].add(Rf)
+        # accumulate into parents, grouped in Python (hips share the base:
+        # the repeated adds below are an explicit, deterministic reduction)
+        for j, pj in enumerate(pi):
+            IA_cols[pj][0] = IA_cols[pj][0] + A_p[:, :, j]
+            IA_cols[pj][1] = IA_cols[pj][1] + B_p[:, :, j]
+            IA_cols[pj][2] = IA_cols[pj][2] + RC[:, :, j]
+            pA_cols[pj][0] = pA_cols[pj][0] + n_p[:, j]
+            pA_cols[pj][1] = pA_cols[pj][1] + Rf[:, j]
 
     # ---- base acceleration: I^A_0 a_0 = -p^A_0 ----
     if fixed_base:
-        a0_ang = jnp.zeros_like(pA_n[:, 0])
-        a0_lin = jnp.zeros_like(pA_f[:, 0])
+        a0_ang = jnp.zeros_like(pA_cols[0][0])
+        a0_lin = jnp.zeros_like(pA_cols[0][1])
     else:
         a0_ang, a0_lin = lin.solve66_sym(
-            IA_A[:, :, 0], IA_B[:, :, 0], IA_C[:, :, 0],
-            -pA_n[:, 0], -pA_f[:, 0])
+            IA_cols[0][0], IA_cols[0][1], IA_cols[0][2],
+            -pA_cols[0][0], -pA_cols[0][1])
 
     # ---- pass 3: outward sweep by level ----
-    a_ang = jnp.zeros((3, nl, m.shape[-1]), dtype)
-    a_lin = jnp.zeros_like(a_ang)
-    a_ang = a_ang.at[:, 0].set(a0_ang)
-    a_lin = a_lin.at[:, 0].set(a0_lin)
-    qdd = jnp.zeros((nq, m.shape[-1]), dtype)
+    a_cols = [None] * nl                 # per-link (a_ang, a_lin) columns
+    a_cols[0] = (a0_ang, a0_lin)
+    qdd_parts = []                       # per level, (k, N), level order
 
     for idx in levels:
         li = idx + 1
@@ -190,16 +202,40 @@ def aba(model, inertia_params, fk, qd, tau, f_ext_w=None, n_ext_w=None,
         axis3 = jnp.asarray(model.joint_axis[idx].T, dtype)[:, :, None]
         prism = jnp.asarray(model.joint_is_prismatic[idx],
                             dtype)[None, :, None]
+        par_ang = jnp.stack([a_cols[pj][0] for pj in pi], axis=1)  # (3,k,N)
+        par_lin = jnp.stack([a_cols[pj][1] for pj in pi], axis=1)
 
-        ap_ang = lin.mtv(R, a_ang[:, pi]) + c_ang[:, idx]
-        ap_lin = lin.mtv(R, a_lin[:, pi] + cross(a_ang[:, pi], p)) \
-            + c_lin[:, idx]
-        num = u_bias[idx] - (jnp.sum(U_ang[:, idx] * ap_ang, axis=0)
-                             + jnp.sum(U_lin[:, idx] * ap_lin, axis=0))
-        qdd_l = d_inv[idx] * num
-        qdd = qdd.at[idx].set(qdd_l)
-        a_ang = a_ang.at[:, li].set(
-            ap_ang + axis3 * (1 - prism) * qdd_l[None])
-        a_lin = a_lin.at[:, li].set(ap_lin + axis3 * prism * qdd_l[None])
+        ap_ang = lin.mtv(R, par_ang) + c_ang[:, idx]
+        ap_lin = lin.mtv(R, par_lin + cross(par_ang, p)) + c_lin[:, idx]
+        Ua, Ul, di, u = per_level[idx[0]]
+        num = u - (jnp.sum(Ua * ap_ang, axis=0)
+                   + jnp.sum(Ul * ap_lin, axis=0))
+        qdd_l = di * num
+        qdd_parts.append(qdd_l)
+        al_ang = ap_ang + axis3 * (1 - prism) * qdd_l[None]
+        al_lin = ap_lin + axis3 * prism * qdd_l[None]
+        for j, lj in enumerate(li):
+            a_cols[lj] = (al_ang[:, j], al_lin[:, j])
 
+    # level order -> joint order via one-hot matmul (no gather)
+    if qdd_parts:
+        order = np.concatenate([np.asarray(idx) for idx in levels])
+        P = np.zeros((nq, nq), np.float32)
+        P[order, np.arange(nq)] = 1.0
+        qdd = jnp.asarray(P, dtype) @ jnp.concatenate(qdd_parts, axis=0)
+    else:
+        qdd = jnp.zeros((nq, m.shape[-1]), dtype)
+
+    if debug:
+        d_inv = jnp.asarray(P, dtype) @ jnp.concatenate(
+            [per_level[idx[0]][2] for idx in levels], axis=0)
+        u_bias = jnp.asarray(P, dtype) @ jnp.concatenate(
+            [per_level[idx[0]][3] for idx in levels], axis=0)
+        a_ang_full = jnp.stack([a_cols[l][0] for l in range(nl)], axis=1)
+        a_lin_full = jnp.stack([a_cols[l][1] for l in range(nl)], axis=1)
+        return jnp.concatenate([a0_ang, a0_lin], axis=0), qdd, {
+            "D_inv": d_inv, "u": u_bias,
+            "c_ang": c_ang, "c_lin": c_lin,
+            "a_ang": a_ang_full, "a_lin": a_lin_full,
+            "pA_n0": pA_cols[0][0], "pA_f0": pA_cols[0][1]}
     return jnp.concatenate([a0_ang, a0_lin], axis=0), qdd

@@ -54,6 +54,13 @@ class SimConfig:
     # bound runaway states, never normal locomotion)
     max_base_ang_vel: float = 100.0
     max_base_lin_vel: float = 100.0
+    # joint-space inertia floor added to the ABA diagonal D [kg m^2].
+    # Physically the reflected rotor inertia (~gear^2 * rotor ~ 0.004 for
+    # go1-class actuators); numerically essential: without it D = s^T I^A s
+    # can reach f32 cancellation scale for light distal links and 1/D
+    # amplifies rounding into +-30000 rad/s^2 qdd noise (measured: TPU and
+    # CPU f32 disagreed by 200% on qdd while agreeing to 1e-7 on inputs)
+    armature_floor: float = 0.005
 
 
 @jax.tree_util.register_dataclass
@@ -79,19 +86,59 @@ class Engine:
         self.kd = np.zeros(nq) if kd is None else np.asarray(kd, float)
         self.torque_limit = np.asarray(model.dof_effort, float)
         self.dt_inner = sim.dt / sim.substeps
-        # per-contact-point effective mass (owning link's nominal mass)
-        # for the implicit contact stabilization
+        # Per-contact-point effective (apparent) mass for the implicit
+        # impulse contact law. Must be a LOWER bound on the true apparent
+        # mass in any direction, else the stopping impulse over-corrects
+        # and reverses the approach velocity (energy injection — observed
+        # as robots launching to 20+ m). For a point on a rotating link
+        # the apparent mass is ~I/r^2 about the parent joint, typically
+        # far below the link mass for light distal links.
+        # exact single-link worst case: 1/m_app = 1/m + max over unit
+        # force directions n of (p x n)^T I_O^-1 (p x n); p x n spans the
+        # plane perpendicular to p, so the max is |p|^2 times the largest
+        # eigenvalue of I_O^-1 restricted to that plane
         link_mass = np.zeros(model.nl)
-        for b in range(model.n_orig):
-            link_mass[model.contrib_link[b]] += model.contrib[b, 0]
-        self.cp_m_eff = (link_mass[model.cp_link]
-                         if len(model.cp_link) else np.zeros(0))
-        # implicit joint-space diagonal: URDF damping + PD kd + dt*kp
+        link_I_O = np.zeros((model.nl, 3, 3))
+        for li in range(model.nl):
+            params = np.zeros(10)
+            for b in range(model.n_orig):
+                if model.contrib_link[b] == li:
+                    params += model.contrib[b]
+            link_mass[li] = params[0]
+            link_I_O[li] = np.array([[params[4], params[5], params[6]],
+                                     [params[5], params[7], params[8]],
+                                     [params[6], params[8], params[9]]])
+        m_eff = []
+        for k in range(len(model.cp_link)):
+            li = int(model.cp_link[k])
+            m = max(link_mass[li], 1e-6)
+            inv_m = 1.0 / m
+            p = model.cp_pos[k]
+            r2 = float(np.dot(p, p))
+            if li > 0 and r2 > 1e-6:
+                I_inv = np.linalg.inv(link_I_O[li] + 1e-10 * np.eye(3))
+                phat = p / np.sqrt(r2)
+                # orthonormal basis of the plane perpendicular to p
+                a = np.array([1.0, 0.0, 0.0])
+                if abs(phat[0]) > 0.9:
+                    a = np.array([0.0, 1.0, 0.0])
+                u1 = np.cross(phat, a)
+                u1 /= np.linalg.norm(u1)
+                u2 = np.cross(phat, u1)
+                B = np.stack([u1, u2], axis=1)
+                lam = np.linalg.eigvalsh(B.T @ I_inv @ B).max()
+                inv_m = inv_m + r2 * lam
+            m_eff.append(1.0 / inv_m)
+        self.cp_m_eff = np.asarray(m_eff) if m_eff else np.zeros(0)
+        # implicit joint-space diagonal: URDF damping + PD kd + dt*kp,
+        # plus the armature floor (rotor-inertia regularization)
         self._imp_pd = (self.dt_inner
                         * (self.kd + self.dt_inner * self.kp
-                           + np.asarray(model.dof_damping)))[:, None]
+                           + np.asarray(model.dof_damping))
+                        + sim.armature_floor)[:, None]
         self._imp_passive = (self.dt_inner
-                             * np.asarray(model.dof_damping))[:, None]
+                             * np.asarray(model.dof_damping)
+                             + sim.armature_floor)[:, None]
         self._has_joint_damping = bool(np.any(model.dof_damping != 0.0))
 
     # ---- one inner substep ----

@@ -64,7 +64,14 @@ def play(args, num_steps=1000):
             cmds = np.asarray(state.commands)
             blv = np.asarray(state.physics.base_lin_vel())
             bav = np.asarray(state.physics.base_ang_vel())
+            taus = np.asarray(tr.torques)
+            fz = np.asarray(tr.feet_contact_z)
             logger.log_states({
+                "dof_torque": taus[joint_index, robot_index],
+                "contact_forces_z": (fz[:, robot_index].sum()
+                                     if fz.size else 0.0),
+                "power": float(
+                    (taus[:, robot_index] * qd[:, robot_index]).sum()),
                 "dof_pos_target": float(np.asarray(actions)[robot_index,
                                                             joint_index]
                                         * env.cfg.control.action_scale),

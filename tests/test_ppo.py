@@ -48,7 +48,9 @@ class PointEnv:
             episode_length_sum=jnp.sum(
                 t * done).astype(jnp.float32),
             terrain_level_mean=jnp.zeros(()),
-            max_command_x=jnp.zeros(()))
+            max_command_x=jnp.zeros(()),
+            torques=jnp.zeros((1, self.num_envs)),
+            feet_contact_z=jnp.zeros((0, self.num_envs)))
         return {"pos": new_pos, "t": new_t, "key": key}, tr
 
 
