@@ -200,6 +200,13 @@ class SimCfg:
     substeps: int = 1
     gravity: list = _l(0.0, 0.0, -9.81)
     dtype: str = "float32"
+    # fused chain-layout physics (chain_engine/pallas_step): the whole
+    # decimation loop as one program — a Pallas mega-kernel on TPU, the
+    # equivalent plain-XLA twin elsewhere. Auto-falls back to the general
+    # stacked engine when the robot isn't base+serial-chains or the
+    # control path needs per-sim-dt torques (SEA / UniNet). Disable for
+    # differentiable-physics use (gradient MPC) — the kernel has no VJP.
+    use_chain_engine: bool = True
 
 
 @dataclass

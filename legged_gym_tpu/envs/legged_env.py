@@ -187,6 +187,18 @@ class LeggedEnv:
                              kp=self.p_gains, kd=self.d_gains,
                              fixed_base=cfg.asset.fix_base_link)
 
+        # fused chain-layout fast path (physics/chain_engine.py): Pallas
+        # mega-kernel on TPU, plain-XLA twin on CPU
+        self.chain_engine = None
+        if getattr(cfg.sim, "use_chain_engine", True):
+            try:
+                from legged_gym_tpu.physics.chain_engine import ChainEngine
+                self.chain_engine = ChainEngine(
+                    self.engine, decimation=cfg.control.decimation)
+                self.chain_engine.bind_grid(self.grid)
+            except Exception:
+                self.chain_engine = None
+
         # --- height scan (legged_robot.py:802-816) ---
         self.measure_heights = (cfg.terrain.measure_heights
                                 and mesh != "none")
@@ -531,6 +543,16 @@ class LeggedEnv:
                 (physics, actuator_state), infos = jax.lax.scan(
                     sim_body, (state.physics, state.actuator_state), None,
                     length=cfg.control.decimation)
+            elif self.chain_engine is not None:
+                # fused chain path: the whole decimation loop is one
+                # program (Pallas mega-kernel on TPU)
+                use_pallas = jax.default_backend() != "cpu"
+                physics, torques_d, contact_f_d = \
+                    self.chain_engine.step_decimation_pos(
+                        state.physics, state.link_params, state.friction,
+                        targets, use_pallas=use_pallas)
+                infos = None
+                actuator_state = state.actuator_state
             else:
                 def sim_body(phys, _):
                     phys, info = self.engine.step_pos_targets(
@@ -559,8 +581,12 @@ class LeggedEnv:
 
         # sensors from the LAST sim dt (reference refreshes tensors after
         # the loop, legged_robot.py:114-116)
-        contact_f = infos.body_forces[-1]
-        torques = infos.torques[-1]
+        if infos is None:          # fused chain path computed them already
+            contact_f = contact_f_d
+            torques = torques_d
+        else:
+            contact_f = infos.body_forces[-1]
+            torques = infos.torques[-1]
 
         # ---- post-physics bookkeeping ----
         episode_length = state.episode_length + 1

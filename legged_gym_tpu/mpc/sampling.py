@@ -48,6 +48,8 @@ def _tile_state(phys, k):
 class SamplingMPC:
     """MPPI / CEM planner bound to a LeggedEnv's engine + reward model."""
 
+    differentiable = False      # GradientMPC needs d(rollout)/d(actions)
+
     def __init__(self, env, cfg: MPCConfig = MPCConfig(), method="mppi"):
         self.env = env
         self.cfg = cfg
@@ -65,24 +67,37 @@ class SamplingMPC:
         term_idx = jnp.asarray(env.term_idx) if len(env.term_idx) else None
         sigma = env.cfg.rewards.tracking_sigma
 
+        use_chain = getattr(env, "chain_engine", None) is not None
+        # the Pallas mega-kernel has no VJP; GradientMPC differentiates
+        # through the rollout, so it uses the (differentiable) chain twin
+        use_pallas = (use_chain and not self.differentiable
+                      and jax.default_backend() != "cpu")
+
         def step(carry, a):
             phys, cost = carry
             targets = jnp.clip(a * env.cfg.control.action_scale + dflt,
                                lo, hi)
-            patch = None
-            if env.grid is not None:
-                from legged_gym_tpu.terrain.heightfield import \
-                    extract_patches
-                patch = extract_patches(env.grid, phys.pos[0], phys.pos[1])
+            if use_chain:
+                phys, _tau, contact_f = \
+                    env.chain_engine.step_decimation_pos(
+                        phys, link_params, friction, targets,
+                        use_pallas=use_pallas)
+            else:
+                patch = None
+                if env.grid is not None:
+                    from legged_gym_tpu.terrain.heightfield import \
+                        extract_patches
+                    patch = extract_patches(env.grid, phys.pos[0],
+                                            phys.pos[1])
 
-            def sim_body(p, _):
-                p, info = env.engine.step_pos_targets(
-                    p, link_params, friction, targets, patch=patch)
-                return p, info
+                def sim_body(p, _):
+                    p, info = env.engine.step_pos_targets(
+                        p, link_params, friction, targets, patch=patch)
+                    return p, info
 
-            phys, info = jax.lax.scan(sim_body, phys, None,
-                                      length=env.cfg.control.decimation)
-            contact_f = info.body_forces[-1]
+                phys, info = jax.lax.scan(sim_body, phys, None,
+                                          length=env.cfg.control.decimation)
+                contact_f = info.body_forces[-1]
 
             blv = phys.base_lin_vel()
             bav = phys.base_ang_vel()
@@ -158,6 +173,8 @@ class SamplingMPC:
 class GradientMPC(SamplingMPC):
     """First-order trajectory optimization by differentiating through the
     rollout (pure-JAX physics is end-to-end differentiable)."""
+
+    differentiable = True
 
     def plan(self, key, phys_single, link_params, friction, commands,
              nominal=None):

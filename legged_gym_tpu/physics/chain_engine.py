@@ -1,0 +1,173 @@
+"""Chain-layout fast engine: the whole decimation loop as one function.
+
+Wraps chain_step.run_decimation_chain (plain XLA) and pallas_step (the
+fused TPU kernel) behind the same interface as Engine.step_pos_targets,
+but for the FULL policy-step physics (decimation x substeps) in one
+call. Handles the joint-order <-> chain-layout conversions (one-hot
+matmuls, no scatters); the per-report-body net contact forces (the
+sensor tensor) are accumulated inside the fused step itself.
+
+Reference correspondence: replaces the decimation loop around
+``gym.simulate`` (legged_robot.py:89-99) with one fused device program.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from legged_gym_tpu.physics import chain_step
+from legged_gym_tpu.physics.chains import (NotChainStructured,
+                                           build_chain_model)
+from legged_gym_tpu.physics.state import PhysicsState
+
+CONTACT_PATCH_S = 16      # 1.6 m window: go1-class legs reach < +-0.6 m
+
+
+class ChainEngine:
+    """Built from a physics.engine.Engine; raises NotChainStructured if
+    the model doesn't decompose (caller falls back to the general
+    engine)."""
+
+    def __init__(self, engine, decimation):
+        model = engine.model
+        sim = engine.sim
+        if engine.fixed_base:
+            raise NotChainStructured("fixed base")
+        if not sim.contact.implicit:
+            raise NotChainStructured("explicit contact not supported")
+        cm = build_chain_model(model, engine.cp_m_eff)
+        self.engine = engine
+        self.model = model
+        self.cm = cm
+        L, K, nq = cm.L, cm.K, model.nq
+
+        def lvl(arr, fill=0.0):
+            out = np.full((L, K), fill, float)
+            out[cm.active] = np.asarray(arr, float)[cm.J[cm.active]]
+            return out
+
+        self.cc = chain_step.ChainConsts(
+            cm=cm,
+            dt_inner=engine.dt_inner,
+            substeps=sim.substeps,
+            decimation=decimation,
+            gravity=tuple(sim.gravity),
+            kp=lvl(engine.kp),
+            kd_eff=lvl(engine.kd + engine.dt_inner * engine.kp),
+            effort=lvl(engine.torque_limit),
+            implicit_d=lvl(engine._imp_pd[:, 0]),
+            limit_stiffness=sim.limit_stiffness,
+            limit_damping=sim.limit_damping,
+            lower=lvl(model.dof_lower, fill=-1e9),
+            upper=lvl(model.dof_upper, fill=1e9),
+            qd_cap=lvl(model.dof_vel_limit * sim.vel_limit_scale, fill=1e9),
+            base_ang_cap=sim.max_base_ang_vel,
+            base_lin_cap=sim.max_base_lin_vel,
+            mu_terrain=sim.contact.terrain_friction,
+            slip_velocity=sim.contact.slip_velocity,
+            baumgarte=sim.contact.baumgarte,
+            border_size=0.0,      # set by bind_grid
+            horizontal_scale=1.0,
+            patch_S=CONTACT_PATCH_S)
+
+        # joint-order <-> level-layout one-hot matrices (no gathers)
+        M = np.zeros((L * K, nq), np.float32)
+        for l in range(L):
+            for k in range(K):
+                if cm.J[l, k] >= 0:
+                    M[l * K + k, cm.J[l, k]] = 1.0
+        self._to_lvl = M                 # (L*K, nq); q_lvl = M @ q
+        self._from_lvl = M.T             # (nq, L*K)
+
+        # link_params row order for level layout
+        self._li_flat = cm.LI.reshape(-1)               # (L*K,)
+        self._lvl_mask = cm.active.astype(np.float32)   # (L, K)
+
+    def bind_grid(self, grid):
+        """Set heightfield geometry (None = flat plane)."""
+        import dataclasses
+        if grid is None:
+            self.cc = dataclasses.replace(self.cc, border_size=0.0,
+                                          horizontal_scale=1.0)
+        else:
+            self.cc = dataclasses.replace(
+                self.cc, border_size=grid.border_size,
+                horizontal_scale=grid.horizontal_scale)
+        self.grid = grid
+
+    # ------------------------------------------------------ conversions
+
+    def to_level(self, x):
+        """(nq, N) -> (L, K, N)."""
+        cm = self.cm
+        return (jnp.asarray(self._to_lvl, x.dtype) @ x).reshape(
+            cm.L, cm.K, x.shape[-1])
+
+    def from_level(self, x_lvl):
+        """(L, K, N) -> (nq, N)."""
+        cm = self.cm
+        return jnp.asarray(self._from_lvl, x_lvl.dtype) @ \
+            x_lvl.reshape(cm.L * cm.K, x_lvl.shape[-1])
+
+    def level_link_params(self, link_params):
+        """(nl, 10, N) -> (lp_base (10, N), lp_lvl (L, 10, K, N))."""
+        cm = self.cm
+        lp = jnp.take(link_params, jnp.asarray(self._li_flat), axis=0)
+        lp = lp.reshape(cm.L, cm.K, 10, link_params.shape[-1])
+        lp = jnp.moveaxis(lp, 2, 1)                      # (L, 10, K, N)
+        lp = lp * jnp.asarray(self._lvl_mask, lp.dtype)[:, None, :, None]
+        return link_params[0], lp
+
+    def extract_contact_patch(self, grid, x, y):
+        """(ph (S,S,N), r0 (N,), c0 (N,)) contact window per env; plane
+        (zeros) when grid is None."""
+        import jax
+        S = CONTACT_PATCH_S
+        n = x.shape[-1]
+        if grid is None:
+            z = jnp.zeros((S, S, n), x.dtype)
+            zi = jnp.zeros((n,), jnp.int32)
+            return z, zi, zi
+        hs = grid.horizontal_scale
+        R, C = grid.height.shape
+        r0 = jnp.clip(((x + grid.border_size) / hs).astype(jnp.int32)
+                      - S // 2, 0, R - S)
+        c0 = jnp.clip(((y + grid.border_size) / hs).astype(jnp.int32)
+                      - S // 2, 0, C - S)
+        h = jax.vmap(lambda r, c: jax.lax.dynamic_slice(
+            grid.height, (r, c), (S, S)))(r0, c0)        # (N, S, S)
+        return jnp.transpose(h, (1, 2, 0)), r0, c0
+
+    # ------------------------------------------------------- public step
+
+    def step_decimation_pos(self, state: PhysicsState, link_params,
+                            friction, targets, use_pallas=False):
+        """Full policy-step physics (decimation x substeps), position
+        drive. Returns (state', torques (nq, N), body_forces (3, nb, N))
+        — body_forces is the net-contact-force sensor of the last
+        substep (reference legged_robot.py:115,509)."""
+        lp_base, lp_lvl = self.level_link_params(link_params)
+        q_lvl = self.to_level(state.q)
+        qd_lvl = self.to_level(state.qd)
+        tgt_lvl = self.to_level(targets)
+        ph, r0, c0 = self.extract_contact_patch(
+            self.grid, state.pos[0], state.pos[1])
+
+        if use_pallas:
+            from legged_gym_tpu.physics.pallas_step import \
+                run_decimation_pallas
+            out = run_decimation_pallas(
+                self.cc, lp_base, lp_lvl, friction, tgt_lvl,
+                ph, r0, c0, state.pos, state.quat, state.vel,
+                q_lvl, qd_lvl)
+        else:
+            out = chain_step.run_decimation_chain(
+                self.cc, lp_base, lp_lvl, friction, tgt_lvl,
+                ph, r0, c0, state.pos, state.quat, state.vel,
+                q_lvl, qd_lvl)
+        pos, quat, vel, q_lvl, qd_lvl, tau_lvl, body_f = out
+
+        new_state = PhysicsState(pos=pos, quat=quat, vel=vel,
+                                 q=self.from_level(q_lvl),
+                                 qd=self.from_level(qd_lvl))
+        return new_state, self.from_level(tau_lvl), body_f

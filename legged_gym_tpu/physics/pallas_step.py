@@ -1,0 +1,158 @@
+"""The physics mega-kernel: a full policy step of articulated dynamics
+(decimation x substeps of FK + contact + ABA + integration) as ONE Pallas
+TPU kernel, state resident in VMEM throughout.
+
+Why: the physics is dependency-chain-bound — hundreds of tiny elementwise
+ops per substep. Under plain XLA each fusion boundary round-trips HBM and
+the 8-substep loop costs ~4.3 ms at 1800 envs; in a single Mosaic kernel
+the whole loop runs out of VMEM.
+
+Layout: the env batch is reshaped to TWO axes (G, 128) inside the kernel
+— G=8 sublanes x 128 lanes — so every elementwise op runs on FULL (8,128)
+vregs; with the env batch only in lanes, ops would be (K=4, 128) tiles at
+half sublane occupancy (measured 2x slower). The chain (leg) axis and all
+component axes are leading (arrays of vregs). The kernel body is
+literally chain_step.one_sim_dt — the same pure-jnp code validated
+against the general engine on CPU.
+
+Reference correspondence: this kernel IS our ``gym.simulate``
+(legged_robot.py:96) — the one true custom-kernel hot spot called out in
+SURVEY.md section 7 step 3.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legged_gym_tpu.physics.chain_step import (ChainConsts, const_values,
+                                               one_sim_dt)
+
+LANES = 128
+MAX_SUBLANE_GROUPS = 8          # env block = G * 128, G <= 8
+
+
+def _pad_last(x, n_pad):
+    n = x.shape[-1]
+    if n == n_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)]
+    return jnp.pad(x, pad, mode="edge")
+
+
+def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
+                          ph, r0, c0, pos, quat, vel, q, qd,
+                          interpret=False):
+    """Same contract as chain_step.run_decimation_chain, fused on TPU.
+
+    Shapes: lp_base (10,N), lp_lvl (L,10,K,N), mu (N,), targets (L,K,N),
+    ph (S,S,N), r0/c0 (N,) int32, pos (3,N), quat (4,N), vel (6,N),
+    q/qd (L,K,N).
+    """
+    cm = cc.cm
+    L, K = cm.L, cm.K
+    n = pos.shape[-1]
+    G = min(MAX_SUBLANE_GROUPS, -(-n // LANES))
+    nb = G * LANES
+    n_pad = -(-n // nb) * nb
+    dtype = pos.dtype
+
+    env_ins = [
+        _pad_last(lp_base, n_pad),
+        _pad_last(lp_lvl, n_pad),
+        _pad_last(mu.reshape(1, n).astype(dtype), n_pad),
+        _pad_last(targets, n_pad),
+        _pad_last(ph, n_pad),
+        _pad_last(r0.reshape(1, n).astype(dtype), n_pad),
+        _pad_last(c0.reshape(1, n).astype(dtype), n_pad),
+        _pad_last(pos, n_pad),
+        _pad_last(quat, n_pad),
+        _pad_last(vel, n_pad),
+        _pad_last(q, n_pad),
+        _pad_last(qd, n_pad),
+    ]
+
+    # array constants go in as (replicated) inputs — Pallas kernels can't
+    # capture array constants. env_nd=2: the kernel splits the env batch
+    # into (G, 128)
+    cv_host = const_values(cc, env_nd=2)
+    cv_keys = sorted(cv_host.keys())
+    const_ins = [jnp.asarray(cv_host[k]) for k in cv_keys]
+
+    def env_spec(shape):
+        zeros = (0,) * (len(shape) - 1)
+        return pl.BlockSpec(shape[:-1] + (nb,),
+                            lambda i, _z=zeros: _z + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, _z=zeros: _z,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [env_spec(x.shape) for x in env_ins] + \
+        [const_spec(x.shape) for x in const_ins]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, n_pad), dtype),        # pos
+        jax.ShapeDtypeStruct((4, n_pad), dtype),        # quat
+        jax.ShapeDtypeStruct((6, n_pad), dtype),        # vel
+        jax.ShapeDtypeStruct((L, K, n_pad), dtype),     # q
+        jax.ShapeDtypeStruct((L, K, n_pad), dtype),     # qd
+        jax.ShapeDtypeStruct((L, K, n_pad), dtype),     # tau
+        jax.ShapeDtypeStruct((3, cm.n_bodies, n_pad), dtype),  # body_f
+    ]
+    out_specs = [env_spec(s.shape) for s in out_shapes]
+
+    n_env_in = len(env_ins)
+
+    def split(a):
+        """(..., nb) -> (..., G, 128): env batch into sublanes x lanes."""
+        return a.reshape(a.shape[:-1] + (G, LANES))
+
+    def kernel(*refs):
+        env_refs = refs[:n_env_in]
+        cv_refs = refs[n_env_in:n_env_in + len(const_ins)]
+        out_refs = refs[n_env_in + len(const_ins):]
+        (lpb, lpl, mu_r, tgt, ph_r, r0_r, c0_r,
+         pos_r, quat_r, vel_r, q_r, qd_r) = env_refs
+        (pos_o, quat_o, vel_o, q_o, qd_o, tau_o, bodyf_o) = out_refs
+
+        cv = {k: r[...] for k, r in zip(cv_keys, cv_refs)}
+        lp_base_v = split(lpb[...])
+        lp_lvl_v = split(lpl[...])
+        mu_v = split(mu_r[...])[0]        # (G, 128)
+        tgt_v = split(tgt[...])
+        ph_v = split(ph_r[...])
+        r0_v = split(r0_r[...])[0]
+        c0_v = split(c0_r[...])[0]
+        state5 = tuple(split(r[...]) for r in
+                       (pos_r, quat_r, vel_r, q_r, qd_r))
+
+        def body(_i, state5):
+            state5, tau, body_f = one_sim_dt(
+                cc, cv, lp_base_v, lp_lvl_v, mu_v, tgt_v,
+                ph_v, r0_v, c0_v, state5)
+            tau_o[...] = tau.reshape(tau.shape[:-2] + (nb,))
+            bodyf_o[...] = body_f.reshape(body_f.shape[:-2] + (nb,))
+            return state5
+
+        state5 = jax.lax.fori_loop(0, cc.decimation, body, state5)
+        for ref, a in zip((pos_o, quat_o, vel_o, q_o, qd_o), state5):
+            ref[...] = a.reshape(a.shape[:-2] + (nb,))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*(env_ins + const_ins))
+
+    pos_n, quat_n, vel_n, q_n, qd_n, tau_n, body_f = out
+    sl = lambda x: x[..., :n]
+    return (sl(pos_n), sl(quat_n), sl(vel_n), sl(q_n), sl(qd_n),
+            sl(tau_n), sl(body_f))

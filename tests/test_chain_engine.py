@@ -1,0 +1,136 @@
+"""Chain-layout fast engine vs the general stacked engine.
+
+The chain path (physics/chains.py + chain_step.py) must reproduce the
+general engine's trajectories bit-closely: same PD drive, joint-limit
+springs, implicit impulse contact, ABA, integrator — only the layout and
+the per-sim-dt contact-plane cache differ (reference semantics:
+legged_robot.py:89-99).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legged_gym_tpu import registry
+from legged_gym_tpu.physics.chain_engine import ChainEngine
+from legged_gym_tpu.physics.chains import build_chain_model
+
+
+def _make(mesh, n=8):
+    cfg, _ = registry.get_cfgs("go1")
+    cfg.env.num_envs = n
+    cfg.terrain.mesh_type = mesh
+    env, cfg = registry.make_env(cfg=cfg)
+    return env, cfg
+
+
+def _ref_rollout(env, cfg, phys, lp, fric, targets, steps):
+    from legged_gym_tpu.terrain.heightfield import extract_patches
+    eng = env.engine
+
+    def body(p, _):
+        patch = None
+        if env.grid is not None:
+            patch = extract_patches(env.grid, p.pos[0], p.pos[1])
+        for _ in range(cfg.control.decimation):
+            p, info = eng.step_pos_targets(p, lp, fric, targets,
+                                           patch=patch)
+        return p, info
+
+    return jax.lax.scan(body, phys, None, length=steps)
+
+
+def _chain_rollout(ce, phys, lp, fric, targets, steps):
+    def body(p, _):
+        p, tau, body_f = ce.step_decimation_pos(p, lp, fric, targets)
+        return p, (tau, body_f)
+
+    return jax.lax.scan(body, phys, None, length=steps)
+
+
+@pytest.mark.parametrize("mesh", ["plane", "heightfield"])
+def test_chain_matches_general_engine(mesh):
+    env, cfg = _make(mesh)
+    ce = env.chain_engine
+    assert ce is not None
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    phys, lp, fric = state.physics, state.link_params, state.friction
+    targets = jnp.asarray(env.default_dof_pos)[:, None] * jnp.ones((1, 8))
+
+    p_ref, info = jax.jit(
+        lambda p: _ref_rollout(env, cfg, p, lp, fric, targets, 20))(phys)
+    p_new, (tau, body_f) = jax.jit(
+        lambda p: _chain_rollout(ce, p, lp, fric, targets, 20))(phys)
+
+    np.testing.assert_allclose(np.asarray(p_ref.pos), np.asarray(p_new.pos),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_ref.q), np.asarray(p_new.q),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_ref.qd), np.asarray(p_new.qd),
+                               atol=5e-3)
+    # last-step sensors (info is stacked over the scan)
+    np.testing.assert_allclose(np.asarray(info.body_forces[-1]),
+                               np.asarray(body_f[-1]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(info.torques[-1]),
+                               np.asarray(tau[-1]), atol=1e-3)
+
+
+def test_chain_model_structure():
+    env, cfg = _make("plane", n=2)
+    m = env.engine.model
+    cm = build_chain_model(m, env.engine.cp_m_eff)
+    assert cm.K == 4 and cm.L == 3
+    # every active joint appears exactly once
+    js = sorted(cm.J[cm.active].tolist())
+    assert js == list(range(m.nq))
+    # level l of chain k moves a link whose parent is level l-1 same chain
+    for k in range(cm.K):
+        for l in range(1, cm.L):
+            if cm.J[l, k] >= 0:
+                assert m.link_parent[cm.J[l, k] + 1] == cm.J[l - 1, k] + 1
+    # groups cover all contact points exactly once
+    idx = np.concatenate([g.cp_index[g.active].ravel() for g in cm.groups])
+    assert sorted(idx.tolist()) == list(range(cm.n_points))
+
+
+def test_pallas_interpret_matches_twin():
+    from legged_gym_tpu.physics import chain_step
+    from legged_gym_tpu.physics.pallas_step import run_decimation_pallas
+    env, cfg = _make("heightfield")
+    ce = env.chain_engine
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    phys, lp, fric = state.physics, state.link_params, state.friction
+    targets = jnp.asarray(env.default_dof_pos)[:, None] * jnp.ones((1, 8))
+    lp_base, lp_lvl = ce.level_link_params(lp)
+    q_lvl, qd_lvl = ce.to_level(phys.q), ce.to_level(phys.qd)
+    tgt = ce.to_level(targets)
+    ph, r0, c0 = ce.extract_contact_patch(env.grid, phys.pos[0],
+                                          phys.pos[1])
+    args = (lp_base, lp_lvl, fric, tgt, ph, r0, c0,
+            phys.pos, phys.quat, phys.vel, q_lvl, qd_lvl)
+    ref = chain_step.run_decimation_chain(ce.cc, *args)
+    out = run_decimation_pallas(ce.cc, *args, interpret=True)
+    for i in range(6):
+        np.testing.assert_allclose(np.asarray(ref[i]), np.asarray(out[i]),
+                                   atol=1e-3)
+
+
+def test_env_step_uses_chain_path():
+    """env.step with the chain engine must behave like the env did with
+    the general engine (settle standing on plane)."""
+    env, cfg = _make("plane", n=4)
+    assert env.chain_engine is not None
+    state, _ = env.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def roll(s):
+        def body(c, _):
+            c, tr = env.step(c, jnp.zeros((4, env.num_actions)))
+            return c, tr.done
+        return jax.lax.scan(body, s, None, length=150)
+
+    s2, done = roll(state)
+    z = np.asarray(s2.physics.pos[2])
+    assert not np.isnan(np.asarray(s2.physics.q)).any()
+    assert (z > 0.15).all() and (z < 0.45).all()
+    assert np.asarray(done)[-50:].mean() < 0.05
