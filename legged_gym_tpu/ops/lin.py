@@ -159,3 +159,63 @@ def solve66_sym(AA, AB, BB, b_top, b_bot):
     x_top = solve33(S, rhs_top)
     x_bot = mv(BBinv, b_bot - mtv(AB, x_top))
     return x_top, x_bot
+
+
+# ---- sparse / symmetry-aware variants (instruction-count reductions for
+# the fused physics kernel: on the axon backend per-op overhead dominates,
+# so fewer jnp calls = proportionally faster, see physics/pallas_step.py)
+
+def skew_mm(v, X):
+    """ṽ @ X for v (3,...), X (3,3,...): 2 mults per entry instead of 3
+    (the skew matrix has a zero diagonal)."""
+    x, y, z = v[0], v[1], v[2]
+    return jnp.stack([
+        jnp.stack([y * X[2, 0] - z * X[1, 0],
+                   y * X[2, 1] - z * X[1, 1],
+                   y * X[2, 2] - z * X[1, 2]]),
+        jnp.stack([z * X[0, 0] - x * X[2, 0],
+                   z * X[0, 1] - x * X[2, 1],
+                   z * X[0, 2] - x * X[2, 2]]),
+        jnp.stack([x * X[1, 0] - y * X[0, 0],
+                   x * X[1, 1] - y * X[0, 1],
+                   x * X[1, 2] - y * X[0, 2]]),
+    ])
+
+
+def mm_skew(X, v):
+    """X @ ṽ for X (3,3,...), v (3,...)."""
+    x, y, z = v[0], v[1], v[2]
+    cols = []
+    for i in range(3):
+        cols.append([X[i, 1] * z - X[i, 2] * y,
+                     X[i, 2] * x - X[i, 0] * z,
+                     X[i, 0] * y - X[i, 1] * x])
+    return jnp.stack([jnp.stack(c) for c in cols])
+
+
+def congruence_sym(R, S):
+    """R @ S @ R^T for SYMMETRIC S — computes the 6 unique entries of the
+    (symmetric) result. ~25% fewer ops than mm(R, mmt(S, R))."""
+    # T = S @ R^T  (full)
+    T = mmt(S, R)
+    out = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            out[i][j] = (R[i, 0] * T[0, j] + R[i, 1] * T[1, j]
+                         + R[i, 2] * T[2, j])
+            if i != j:
+                out[j][i] = out[i][j]
+    return jnp.stack([jnp.stack(r) for r in out])
+
+
+def outer_sym(a, scale):
+    """scale * (a a^T) for a (3,...): 6 unique products."""
+    d = [a[0] * scale, a[1] * scale, a[2] * scale]
+    o01 = d[0] * a[1]
+    o02 = d[0] * a[2]
+    o12 = d[1] * a[2]
+    return jnp.stack([
+        jnp.stack([d[0] * a[0], o01, o02]),
+        jnp.stack([o01, d[1] * a[1], o12]),
+        jnp.stack([o02, o12, d[2] * a[2]]),
+    ])

@@ -20,7 +20,11 @@ from legged_gym_tpu.physics.chains import (NotChainStructured,
                                            build_chain_model)
 from legged_gym_tpu.physics.state import PhysicsState
 
-CONTACT_PATCH_S = 16      # 1.6 m window: go1-class legs reach < +-0.6 m
+# contact window: 1.2 m per env. Go1-class contact points stay within
+# ~0.55 m of the base origin (calf joint limits prevent full extension),
+# and queries clamp to the window edge beyond that. 12 cells also keeps
+# the fused kernel inside the 16 MB VMEM budget at 1024-env blocks.
+CONTACT_PATCH_S = 12
 
 
 class ChainEngine:
@@ -28,7 +32,7 @@ class ChainEngine:
     the model doesn't decompose (caller falls back to the general
     engine)."""
 
-    def __init__(self, engine, decimation):
+    def __init__(self, engine, decimation, plane_per_step=True):
         model = engine.model
         sim = engine.sim
         if engine.fixed_base:
@@ -68,7 +72,8 @@ class ChainEngine:
             baumgarte=sim.contact.baumgarte,
             border_size=0.0,      # set by bind_grid
             horizontal_scale=1.0,
-            patch_S=CONTACT_PATCH_S)
+            patch_S=CONTACT_PATCH_S,
+            plane_per_step=plane_per_step)
 
         # joint-order <-> level-layout one-hot matrices (no gathers)
         M = np.zeros((L * K, nq), np.float32)

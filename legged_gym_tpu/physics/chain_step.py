@@ -59,6 +59,12 @@ class ChainConsts:
     border_size: float
     horizontal_scale: float
     patch_S: int
+    # sample the contact plane once per POLICY step (True, default) or
+    # once per sim dt (False). Per-policy-step matches PhysX's broadphase
+    # cadence loosely (points drift <~2 cm in 20 ms) and cuts the
+    # sampling instruction count 4x — the sampler is the single biggest
+    # instruction block in the fused kernel.
+    plane_per_step: bool = True
 
 
 def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
@@ -74,9 +80,31 @@ def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
     def t(a):
         return np.asarray(a).reshape(np.shape(a) + e)
 
+    # closed-form joint rotation: R(q) = Rj @ Rot(axis, q)
+    #                                   = RjA cos q + RjB sin q + RjC
+    # with constant RjA = Rj - Rj a a^T, RjB = Rj [a]x, RjC = Rj a a^T —
+    # 36 jnp calls per level instead of Rodrigues + a matmul (~75)
+    a_ = cm.axis                                        # (L,K,3)
+    aaT = np.einsum("lki,lkj->lkij", a_, a_)
+    RjaaT = np.einsum("lkim,lkmj->lkij", cm.Rj, aaT)
+    ske = np.zeros((cm.L, cm.K, 3, 3))
+    ske[..., 0, 1] = -a_[..., 2]
+    ske[..., 0, 2] = a_[..., 1]
+    ske[..., 1, 0] = a_[..., 2]
+    ske[..., 1, 2] = -a_[..., 0]
+    ske[..., 2, 0] = -a_[..., 1]
+    ske[..., 2, 1] = a_[..., 0]
+    Rjsk = np.einsum("lkim,lkmj->lkij", cm.Rj, ske)
+
+    def rot4(a):
+        return t(np.transpose(a, (0, 2, 3, 1)))         # (L,3,3,K,1*)
+
     cv = {
         "ax": t(np.moveaxis(cm.axis, -1, 1)),           # (L,3,K,1*)
         "Rj": t(np.transpose(cm.Rj, (0, 2, 3, 1))),     # (L,3,3,K,1*)
+        "RjA": rot4(cm.Rj - RjaaT),
+        "RjB": rot4(Rjsk),
+        "RjC": rot4(RjaaT),
         "pj": t(np.moveaxis(cm.pj, -1, 1)),             # (L,3,K,1*)
         "kp": t(cc.kp),                                 # (L,K,1*)
         "kd_eff": t(cc.kd_eff),
@@ -120,24 +148,17 @@ def fk_chain(cc: ChainConsts, cv, pos, quat, vel, q, qd):
     R_w, p_w, w_l, v_l, R_loc = [], [], [], [], []
     for l in range(cm.L):
         ax = cv["ax"][l]                              # (3,K,1)
-        Rj = cv["Rj"][l]                              # (3,3,K,1)
         pj = cv["pj"][l]                              # (3,K,1)
         q_l, qd_l = q[l], qd[l]                       # (K,N)
 
-        # Rodrigues about constant unit axis
+        # closed-form R = RjA cos q + RjB sin q + RjC (see const_values)
         ccos = jnp.cos(q_l)
         s = jnp.sin(q_l)
-        oc = 1.0 - ccos
-        x, y, z = ax[0], ax[1], ax[2]
-        R_rot = jnp.stack([
-            jnp.stack([ccos + x * x * oc, x * y * oc - z * s,
-                       x * z * oc + y * s]),
-            jnp.stack([y * x * oc + z * s, ccos + y * y * oc,
-                       y * z * oc - x * s]),
-            jnp.stack([z * x * oc - y * s, z * y * oc + x * s,
-                       ccos + z * z * oc]),
-        ])                                            # (3,3,K,N)
-        R = lin.mm(Rj, R_rot)
+        A_, B_, C_ = cv["RjA"][l], cv["RjB"][l], cv["RjC"][l]
+        R = jnp.stack([
+            jnp.stack([A_[i, j] * ccos + B_[i, j] * s + C_[i, j]
+                       for j in range(3)])
+            for i in range(3)])                       # (3,3,K,N)
         if l == 0:
             Rp = R0[:, :, None]                       # (3,3,1,N)
             pp = pos[:, None]
@@ -258,14 +279,15 @@ def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
                              mu_env):
     """Implicit impulse contact force against a cached local plane.
 
-    plane: (h0, dhdx, dhdy, x0, y0) each (S,K,N) sampled at the first
-    substep of the sim dt; pos/vel: (3,S,K,N) current.
+    plane: (c0, dhdx, dhdy) each (S,K,N) — the plane in offset form
+    h(x,y) = c0 + dhdx*x + dhdy*y, sampled once per sim dt or per policy
+    step (the PhysX persistent-manifold analog); pos/vel: (3,S,K,N).
     Matches contact.contact_forces (implicit branch).
     """
     dt_in = cc.dt_inner
-    h0, dhdx, dhdy, x0, y0 = plane
+    c0, dhdx, dhdy = plane
     x, y, z = pos[0], pos[1], pos[2]
-    h = h0 + dhdx * (x - x0) + dhdy * (y - y0)
+    h = c0 + dhdx * x + dhdy * y
     inv_norm = 1.0 / jnp.sqrt(1.0 + dhdx * dhdx + dhdy * dhdy)
     nx, ny, nz = -dhdx * inv_norm, -dhdy * inv_norm, inv_norm
 
@@ -360,9 +382,12 @@ def aba_chain(cc: ChainConsts, cv, lp_base, lp_lvl, fk, qd, tau,
         di = 1.0 / D
         per_level[l] = (Ua, Ul, di, u)
 
-        Ia_A = A_l - di[None, None] * lin.outer(Ua, Ua)
+        # symmetric/sparse-aware forms (A, C and the congruences are
+        # symmetric; the shift matrix is a skew of the CONSTANT joint
+        # offset) — ~30% fewer jnp calls in the hottest ABA block
+        Ia_A = A_l - lin.outer_sym(Ua, di)
         Ia_B = B_l - di[None, None] * lin.outer(Ua, Ul)
-        Ia_C = C_l - di[None, None] * lin.outer(Ul, Ul)
+        Ia_C = C_l - lin.outer_sym(Ul, di)
         ca, cl = c_ang[l], c_lin[l]
         pa_n = pn_l + lin.mv(Ia_A, ca) + lin.mv(Ia_B, cl) \
             + Ua * (di * u)[None]
@@ -370,14 +395,17 @@ def aba_chain(cc: ChainConsts, cv, lp_base, lp_lvl, fk, qd, tau,
             + Ul * (di * u)[None]
 
         R = fk["R_loc"][l]
-        pjb = jnp.broadcast_to(cv["pj"][l], (3, cm.K) + env)
-        pT = lin.skew(pjb)
-        RA = lin.mm(R, lin.mmt(Ia_A, R))
+        pj = cv["pj"][l]
+        pjb = jnp.broadcast_to(pj, (3, cm.K) + env)
+        RA = lin.congruence_sym(R, Ia_A)
         RB = lin.mm(R, lin.mmt(Ia_B, R))
-        RC = lin.mm(R, lin.mmt(Ia_C, R))
-        A_p = (RA - lin.mm(RB, pT) + lin.mm(pT, lin.transpose(RB))
-               - lin.mm(pT, lin.mm(RC, pT)))
-        B_p = RB + lin.mm(pT, RC)
+        RC = lin.congruence_sym(R, Ia_C)
+        RBp = lin.mm_skew(RB, pj)              # RB @ p~
+        pRC = lin.skew_mm(pj, RC)              # p~ @ RC
+        # p~ @ RB^T = -(RB @ p~)^T (skew antisymmetry)
+        A_p = (RA - RBp - lin.transpose(RBp)
+               - lin.skew_mm(pj, lin.mm_skew(RC, pj)))
+        B_p = RB + pRC
         Rf = lin.mv(R, pa_f)
         n_p = lin.mv(R, pa_n) + cross(pjb, Rf)
 
@@ -486,11 +514,45 @@ def wrenches_from_forces(cc: ChainConsts, fk, pts, forces):
     return f_base, n_base, f_lvl, n_lvl
 
 
+def _body_runs(g):
+    """Host-side: contiguous slot runs [s0, s1) of the same report body,
+    per chain: list of (s0, s1, k, body). Lets the sensor accumulation be
+    a few range-sums instead of one slice per point."""
+    runs = []
+    S, K = g.body.shape
+    for k in range(K):
+        s = 0
+        while s < S:
+            if not g.active[s, k]:
+                s += 1
+                continue
+            b = int(g.body[s, k])
+            s1 = s + 1
+            while s1 < S and g.active[s1, k] and int(g.body[s1, k]) == b:
+                s1 += 1
+            runs.append((s, s1, k, b))
+            s = s1
+    return runs
+
+
+def compute_plane(cc: ChainConsts, cv, fk, ph, pr0, pc0):
+    """Sample the terrain under every contact point and return the local
+    contact planes in offset form: list per group of (c0, dhdx, dhdy)."""
+    plane = []
+    for gi in range(len(cc.cm.groups)):
+        ppos, _ = contact_points_group(cc, cv, fk, gi)
+        x, y = ppos[0], ppos[1]
+        h, dhdx, dhdy = sample_patch_plane(cc, cv, ph, pr0, pc0, x, y)
+        plane.append((h - dhdx * x - dhdy * y, dhdx, dhdy))
+    return plane
+
+
 def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
-               ph, pr0, pc0, state5):
+               ph, pr0, pc0, state5, plane=None):
     """One sim dt = `substeps` inner substeps with a contact plane cached
-    at the first substep (PhysX persistent-manifold analog). Shared body
-    of the plain-JAX path and the Pallas kernel.
+    at the first substep (PhysX persistent-manifold analog) — or reused
+    from `plane` (per-policy-step cadence). Shared body of the plain-JAX
+    path and the Pallas kernel.
 
     Returns (state5', tau (L,K,N) last substep,
              body_f (3, n_bodies, N) net contact forces, last substep)."""
@@ -498,7 +560,9 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
     pos, quat, vel, q, qd = state5
     tau_out = None
     body_f_out = None
-    plane = [None] * len(cm.groups)
+    own_plane = plane is None
+    if own_plane:
+        plane = [None] * len(cm.groups)
     has_damping = bool(np.any(cm.damping != 0.0))
     for s in range(cc.substeps):
         fk = fk_chain(cc, cv, pos, quat, vel, q, qd)
@@ -512,33 +576,26 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
         f_lvl = [jnp.zeros((3, cm.K) + env, dtype) for _ in range(cm.L)]
         n_lvl = [jnp.zeros((3, cm.K) + env, dtype) for _ in range(cm.L)]
         # per-report-body force accumulators (the net_contact_force
-        # sensor, reference legged_robot.py:115,509) — accumulated
-        # in-kernel with static slices, no scatters
+        # sensor, reference legged_robot.py:115,509) — contiguous
+        # slot-runs of the same body are range-summed, no scatters
         body_cols = [None] * cm.n_bodies
         for gi, g in enumerate(cm.groups):
             ppos, pvel = contact_points_group(cc, cv, fk, gi)
-            if s == 0:
+            if own_plane and s == 0:
                 x, y = ppos[0], ppos[1]
                 h, dhdx, dhdy = sample_patch_plane(cc, cv, ph, pr0, pc0,
                                                    x, y)
-                if cc.substeps > 1:
-                    plane[gi] = (h, dhdx, dhdy, x, y)
-                pl_g = (h, dhdx, dhdy, x, y)
-            else:
-                pl_g = plane[gi]
-            f = contact_force_from_plane(cc, cv, gi, pl_g, ppos, pvel,
-                                         mu_env)
-            S_g, K_g = g.body.shape
-            for si in range(S_g):
-                f_s = jax.lax.index_in_dim(f, si, axis=1, keepdims=False)
-                for k in range(K_g):
-                    if not g.active[si, k]:
-                        continue
-                    b = int(g.body[si, k])
-                    f_sk = jax.lax.index_in_dim(f_s, k, axis=1,
-                                                keepdims=False)
-                    body_cols[b] = (f_sk if body_cols[b] is None
-                                    else body_cols[b] + f_sk)
+                plane[gi] = (h - dhdx * x - dhdy * y, dhdx, dhdy)
+            f = contact_force_from_plane(cc, cv, gi, plane[gi], ppos,
+                                         pvel, mu_env)
+            for (s0, s1, k, b) in _body_runs(g):
+                fr = jax.lax.slice_in_dim(f, s0, s1, axis=1)
+                fr = jnp.sum(fr, axis=1) if s1 - s0 > 1 else fr[:, 0]
+                col = (jax.lax.index_in_dim(fr, k, axis=1,
+                                            keepdims=False)
+                       if fr.shape[1] > 1 else fr[:, 0])
+                body_cols[b] = (col if body_cols[b] is None
+                                else body_cols[b] + col)
             if g.level < 0:
                 arm = ppos - fk["p0"][:, None, None]
                 f_base = f_base + jnp.sum(f, axis=(1, 2))
@@ -581,10 +638,14 @@ def run_decimation_chain(cc: ChainConsts, lp_base, lp_lvl, mu_env,
         cv = {k: jnp.asarray(v)
               for k, v in const_values(cc, env_nd=pos.ndim - 1).items()}
     state5 = (pos, quat, vel, q, qd)
+    plane = None
+    if cc.plane_per_step:
+        fk0 = fk_chain(cc, cv, pos, quat, vel, q, qd)
+        plane = compute_plane(cc, cv, fk0, ph, pr0, pc0)
     tau_last = None
     body_f_last = None
     for _dec in range(cc.decimation):
         state5, tau_last, body_f_last = one_sim_dt(
             cc, cv, lp_base, lp_lvl, mu_env, targets, ph, pr0, pc0,
-            state5)
+            state5, plane=plane)
     return state5 + (tau_last, body_f_last)

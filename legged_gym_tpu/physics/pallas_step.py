@@ -27,7 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from legged_gym_tpu.physics.chain_step import (ChainConsts, const_values,
+from legged_gym_tpu.physics.chain_step import (ChainConsts, compute_plane,
+                                               const_values, fk_chain,
                                                one_sim_dt)
 
 LANES = 128
@@ -131,15 +132,34 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         state5 = tuple(split(r[...]) for r in
                        (pos_r, quat_r, vel_r, q_r, qd_r))
 
-        def body(_i, state5):
-            state5, tau, body_f = one_sim_dt(
-                cc, cv, lp_base_v, lp_lvl_v, mu_v, tgt_v,
-                ph_v, r0_v, c0_v, state5)
-            tau_o[...] = tau.reshape(tau.shape[:-2] + (nb,))
-            bodyf_o[...] = body_f.reshape(body_f.shape[:-2] + (nb,))
-            return state5
+        if cc.plane_per_step:
+            fk0 = fk_chain(cc, cv, *state5)
+            plane0 = compute_plane(cc, cv, fk0, ph_v, r0_v, c0_v)
 
-        state5 = jax.lax.fori_loop(0, cc.decimation, body, state5)
+            # the plane rides the fori carry explicitly (a pre-loop
+            # closure over it crashed the Mosaic compile helper at
+            # multi-block grids)
+            def body(_i, carry):
+                state5, plane = carry
+                state5, tau, body_f = one_sim_dt(
+                    cc, cv, lp_base_v, lp_lvl_v, mu_v, tgt_v,
+                    ph_v, r0_v, c0_v, state5, plane=plane)
+                tau_o[...] = tau.reshape(tau.shape[:-2] + (nb,))
+                bodyf_o[...] = body_f.reshape(body_f.shape[:-2] + (nb,))
+                return (state5, plane)
+
+            state5, _ = jax.lax.fori_loop(0, cc.decimation, body,
+                                          (state5, plane0))
+        else:
+            def body(_i, state5):
+                state5, tau, body_f = one_sim_dt(
+                    cc, cv, lp_base_v, lp_lvl_v, mu_v, tgt_v,
+                    ph_v, r0_v, c0_v, state5)
+                tau_o[...] = tau.reshape(tau.shape[:-2] + (nb,))
+                bodyf_o[...] = body_f.reshape(body_f.shape[:-2] + (nb,))
+                return state5
+
+            state5 = jax.lax.fori_loop(0, cc.decimation, body, state5)
         for ref, a in zip((pos_o, quat_o, vel_o, q_o, qd_o), state5):
             ref[...] = a.reshape(a.shape[:-2] + (nb,))
 

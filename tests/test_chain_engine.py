@@ -51,8 +51,12 @@ def _chain_rollout(ce, phys, lp, fric, targets, steps):
 @pytest.mark.parametrize("mesh", ["plane", "heightfield"])
 def test_chain_matches_general_engine(mesh):
     env, cfg = _make(mesh)
-    ce = env.chain_engine
-    assert ce is not None
+    # per-sim-dt plane cadence == the general engine's exact semantics
+    # (the default per-policy-step cadence is a deliberate approximation)
+    ce = ChainEngine(env.engine, decimation=cfg.control.decimation,
+                     plane_per_step=False)
+    ce.bind_grid(env.grid)
+    assert env.chain_engine is not None
     state, _ = env.reset(jax.random.PRNGKey(0))
     phys, lp, fric = state.physics, state.link_params, state.friction
     targets = jnp.asarray(env.default_dof_pos)[:, None] * jnp.ones((1, 8))
@@ -73,6 +77,15 @@ def test_chain_matches_general_engine(mesh):
                                np.asarray(body_f[-1]), atol=2e-2)
     np.testing.assert_allclose(np.asarray(info.torques[-1]),
                                np.asarray(tau[-1]), atol=1e-3)
+    # the default fast cadence (plane held for one policy step) must stay
+    # physically close to the exact one
+    fast = env.chain_engine
+    p_fast, _ = jax.jit(
+        lambda p: _chain_rollout(fast, p, lp, fric, targets, 20))(phys)
+    np.testing.assert_allclose(np.asarray(p_ref.pos),
+                               np.asarray(p_fast.pos), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(p_ref.q),
+                               np.asarray(p_fast.q), atol=5e-2)
 
 
 def test_chain_model_structure():
