@@ -41,7 +41,8 @@ from legged_gym_tpu.physics.engine import Engine, SimConfig
 from legged_gym_tpu.physics.params import (broadcast_nominal,
                                            link_params_from_scales)
 from legged_gym_tpu.physics.state import PhysicsState
-from legged_gym_tpu.terrain.heightfield import (extract_patches,
+from legged_gym_tpu.terrain.heightfield import (TerrainPatch,
+                                                extract_patches,
                                                 patch_sample_min3,
                                                 sample_min3)
 from legged_gym_tpu.terrain.terrain import Terrain, TerrainGrid
@@ -55,6 +56,13 @@ class EnvState:
     rng: jnp.ndarray                 # PRNG key
     episode_length: jnp.ndarray      # (N,) int32
     common_step: jnp.ndarray         # () int32 global step counter
+    # cached per-env terrain window (refreshed every few steps — per-env
+    # windowed reads are the slowest primitive on this backend, see
+    # LeggedEnv.step; (N,1,1)/(N,) dummies when there is no heightfield)
+    patch: jnp.ndarray               # (N, Sc, Sc) heights, meters
+    patch_T: jnp.ndarray             # (Sc, Sc, N) same, kernel layout
+    patch_r0: jnp.ndarray            # (N,) int32 window origin row
+    patch_c0: jnp.ndarray            # (N,) int32 window origin col
     commands: jnp.ndarray            # (4, N) vx, vy, wz, heading
     actions: jnp.ndarray             # (na, N) current (clipped) actions
     last_actions: jnp.ndarray        # (na, N)
@@ -117,6 +125,17 @@ class LeggedEnv:
 
     def __init__(self, cfg, seed=0):
         self.cfg = cfg
+        # TPU lane alignment: above one kernel chunk (1024) the fused
+        # physics kernel tiles the env axis in 128-lane chunks, and
+        # HBM-side padding per step costs more than simulating the extra
+        # envs (measured: pad+slice fusions were 2.3 ms/step at 1800
+        # envs). Round UP so every env is real; e.g. 1800 -> 1920.
+        if (getattr(cfg.sim, "use_chain_engine", True)
+                and cfg.env.num_envs > 1024 and cfg.env.num_envs % 128):
+            rounded = -(-cfg.env.num_envs // 128) * 128
+            print(f"[legged_gym_tpu] rounding num_envs "
+                  f"{cfg.env.num_envs} -> {rounded} (128-lane alignment)")
+            cfg.env.num_envs = rounded
         self.num_envs = cfg.env.num_envs
         self.dt = cfg.control.decimation * cfg.sim.dt     # policy dt
         self.max_episode_length_s = cfg.env.episode_length_s
@@ -194,7 +213,8 @@ class LeggedEnv:
             try:
                 from legged_gym_tpu.physics.chain_engine import ChainEngine
                 self.chain_engine = ChainEngine(
-                    self.engine, decimation=cfg.control.decimation)
+                    self.engine, decimation=cfg.control.decimation,
+                    patch_S=self.contact_patch_S)
                 self.chain_engine.bind_grid(self.grid)
             except Exception:
                 self.chain_engine = None
@@ -297,6 +317,62 @@ class LeggedEnv:
             origins[:, 0] = sp * xx.ravel()[:n]
             origins[:, 1] = sp * yy.ravel()[:n]
         self.init_env_origins = origins.T                    # (3, N)
+
+        # ---- terrain patch cache setup ----
+        # Per-env windowed reads (vmap'd dynamic_slice) execute as a
+        # sequential per-env loop on this backend (~1 us per env per
+        # step: 2.4 of 3.2 ms/step at 1920 envs, measured with
+        # jax.profiler). So the env keeps a larger (Sc x Sc) window in
+        # its STATE, refreshed only every `patch_refresh` steps, with a
+        # per-terrain-cell static window swapped in for reset envs via a
+        # one-hot matmul (no gathers).
+        self.patch_cache_S = 40          # 4.0 m: scan +-0.95 m, reset
+        #                                  offset +-1 m, drift margin
+        self.patch_refresh = 4           # steps between re-extractions
+        # contact window passed to the physics kernel: center crop of the
+        # cache (VMEM budget). +-1.2 m covers reach + drift for walking
+        # envs; freshly reset envs (up to +-1 m off window center) may
+        # clamp on the outer band for <= patch_refresh-1 steps.
+        self.contact_patch_S = 24
+        if self.grid is not None:
+            Sc = self.patch_cache_S
+            G = np.asarray(self.grid.height, np.float32)
+            R, C = G.shape
+            hs = self.grid.horizontal_scale
+            border = self.grid.border_size
+            org = np.asarray(self.terrain_origins, float).reshape(-1, 3)
+            r0s = np.clip(((org[:, 0] + border) / hs).astype(np.int32)
+                          - Sc // 2, 0, R - Sc)
+            c0s = np.clip(((org[:, 1] + border) / hs).astype(np.int32)
+                          - Sc // 2, 0, C - Sc)
+            self._cell_patches = np.stack(
+                [G[r:r + Sc, c:c + Sc].reshape(-1)
+                 for r, c in zip(r0s, c0s)])         # (n_cells, Sc*Sc)
+            self._cell_r0 = r0s.astype(np.float32)
+            self._cell_c0 = c0s.astype(np.float32)
+            self._n_cells = len(r0s)
+            self._cells_ncols = np.asarray(self.terrain_origins).shape[1]
+
+    def _env_cells(self, terrain_level):
+        """(N,) flat terrain-cell index per env."""
+        types = jnp.asarray(self.terrain_types)
+        return terrain_level * self._cells_ncols + types
+
+    def _cell_patch_lookup(self, cells):
+        """Static origin-centered windows per env by cell index, via a
+        one-hot matmul (per-env gathers are pathologically slow here).
+        Returns (patch (N, Sc, Sc), patch_T (Sc, Sc, N), r0, c0)."""
+        Sc = self.patch_cache_S
+        cp = jnp.asarray(self._cell_patches, self.dtype)
+        onehot = (cells[:, None]
+                  == jnp.arange(self._n_cells)[None, :]).astype(self.dtype)
+        ph = (onehot @ cp).reshape(-1, Sc, Sc)
+        ph_T = (cp.T @ onehot.T).reshape(Sc, Sc, -1)
+        r0 = (onehot @ jnp.asarray(self._cell_r0, self.dtype)
+              ).astype(jnp.int32)
+        c0 = (onehot @ jnp.asarray(self._cell_c0, self.dtype)
+              ).astype(jnp.int32)
+        return ph, ph_T, r0, c0
 
     def _build_noise_vec(self):
         """Additive-noise scale per obs slot (_get_noise_scale_vec,
@@ -443,10 +519,19 @@ class LeggedEnv:
         commands, vx_unit = self._resample_commands(kc, commands, ones)
         commands = self._apply_vx_and_deadband(commands, vx_unit,
                                                lin_vel_x_range, ones)
+        if self.grid is not None:
+            lvl = jnp.asarray(self.init_terrain_levels)
+            patch0, patch0_T, pr0, pc0 = self._cell_patch_lookup(
+                self._env_cells(lvl))
+        else:
+            patch0 = jnp.zeros((n, 1, 1), self.dtype)
+            patch0_T = jnp.zeros((1, 1, n), self.dtype)
+            pr0 = pc0 = jnp.zeros((n,), jnp.int32)
         return EnvState(
             physics=physics, rng=key,
             episode_length=jnp.zeros(n, jnp.int32),
             common_step=jnp.zeros((), jnp.int32),
+            patch=patch0, patch_T=patch0_T, patch_r0=pr0, patch_c0=pc0,
             commands=commands,
             actions=jnp.zeros((self.num_actions, n), self.dtype),
             last_actions=jnp.zeros((self.num_actions, n), self.dtype),
@@ -482,13 +567,34 @@ class LeggedEnv:
         rng, k_cmd, k_push, k_noise, k_reset, k_dr, k_lvl = \
             jax.random.split(state.rng, 7)
 
-        # per-env terrain window, extracted once per policy step; all
-        # contact + height-scan queries run against it as MXU matmuls
-        # instead of HBM gathers (see terrain/heightfield.py)
+        # Cached per-env terrain window: per-env windowed extraction is
+        # the slowest primitive on this backend (a sequential per-env
+        # dynamic-slice loop, ~2.4 ms/step at 1920 envs), so the window
+        # lives in the STATE and is re-extracted only every
+        # `patch_refresh` steps; reset envs get a static origin-centered
+        # window (one-hot matmul) below. The 4 m window covers the scan
+        # radius, reset offsets, and several steps of drift.
         patch = None
+        contact_patch = None
         if self.grid is not None:
-            patch = extract_patches(self.grid, state.physics.pos[0],
-                                    state.physics.pos[1])
+            refresh = (state.common_step % self.patch_refresh) == 0
+
+            def _do_refresh(_):
+                tp = extract_patches(self.grid, state.physics.pos[0],
+                                     state.physics.pos[1],
+                                     size=self.patch_cache_S)
+                return tp.h, jnp.transpose(tp.h, (1, 2, 0)), tp.r0, tp.c0
+
+            def _keep(_):
+                return (state.patch, state.patch_T, state.patch_r0,
+                        state.patch_c0)
+
+            ph_c, ph_T, pr0, pc0 = jax.lax.cond(refresh, _do_refresh,
+                                                _keep, None)
+            patch = TerrainPatch(h=ph_c, r0=pr0, c0=pc0)
+            lo = (self.patch_cache_S - self.contact_patch_S) // 2
+            hi = lo + self.contact_patch_S
+            contact_patch = (ph_T[lo:hi, lo:hi], pr0 + lo, pc0 + lo)
 
         # ---- actuation + decimation x sim (legged_robot.py:89-99) ----
         ctrl = cfg.control.control_type
@@ -550,7 +656,8 @@ class LeggedEnv:
                 physics, torques_d, contact_f_d = \
                     self.chain_engine.step_decimation_pos(
                         state.physics, state.link_params, state.friction,
-                        targets, use_pallas=use_pallas)
+                        targets, use_pallas=use_pallas,
+                        contact_patch=contact_patch)
                 infos = None
                 actuator_state = state.actuator_state
             else:
@@ -752,6 +859,18 @@ class LeggedEnv:
             mass_scales = jnp.where(done[None, :], new_m, mass_scales)
             link_params = self._link_params(mass_scales, n)
 
+        # reset envs: swap in their (possibly new) cell's static window
+        if self.grid is not None:
+            cells = self._env_cells(terrain_level)
+            rp, rpT, rr0, rc0 = self._cell_patch_lookup(cells)
+            ph_c = jnp.where(done[:, None, None], rp, ph_c)
+            ph_T = jnp.where(done[None, None, :], rpT, ph_T)
+            pr0 = jnp.where(done, rr0, pr0)
+            pc0 = jnp.where(done, rc0, pc0)
+        else:
+            ph_c, ph_T = state.patch, state.patch_T
+            pr0, pc0 = state.patch_r0, state.patch_c0
+
         feet_air_time = feet_air_time * (~done)[None, :]
         ep_len_sum = jnp.sum(episode_length * done)
         episode_length = jnp.where(done, 0, episode_length)
@@ -777,6 +896,7 @@ class LeggedEnv:
         new_state = EnvState(
             physics=physics, rng=rng, episode_length=episode_length,
             common_step=common_step, commands=commands, actions=a,
+            patch=ph_c, patch_T=ph_T, patch_r0=pr0, patch_c0=pc0,
             last_actions=a, last_dof_vel=physics.qd,
             feet_air_time=feet_air_time, terrain_level=terrain_level,
             env_origin=env_origin, friction=friction,

@@ -20,11 +20,11 @@ from legged_gym_tpu.physics.chains import (NotChainStructured,
                                            build_chain_model)
 from legged_gym_tpu.physics.state import PhysicsState
 
-# contact window: 1.2 m per env. Go1-class contact points stay within
-# ~0.55 m of the base origin (calf joint limits prevent full extension),
-# and queries clamp to the window edge beyond that. 12 cells also keeps
-# the fused kernel inside the 16 MB VMEM budget at 1024-env blocks.
-CONTACT_PATCH_S = 12
+# default standalone contact window: 1.6 m per env (go1-class contact
+# points stay within ~0.55 m of the base — calf joint limits prevent full
+# extension — plus drift margin; queries clamp to the window edge). The
+# env passes its own cached-window size instead (LeggedEnv.patch_cache_S).
+CONTACT_PATCH_S = 16
 
 
 class ChainEngine:
@@ -32,7 +32,8 @@ class ChainEngine:
     the model doesn't decompose (caller falls back to the general
     engine)."""
 
-    def __init__(self, engine, decimation, plane_per_step=True):
+    def __init__(self, engine, decimation, plane_per_step=True,
+                 patch_S=CONTACT_PATCH_S):
         model = engine.model
         sim = engine.sim
         if engine.fixed_base:
@@ -72,7 +73,7 @@ class ChainEngine:
             baumgarte=sim.contact.baumgarte,
             border_size=0.0,      # set by bind_grid
             horizontal_scale=1.0,
-            patch_S=CONTACT_PATCH_S,
+            patch_S=patch_S,
             plane_per_step=plane_per_step)
 
         # joint-order <-> level-layout one-hot matrices (no gathers)
@@ -125,9 +126,11 @@ class ChainEngine:
 
     def extract_contact_patch(self, grid, x, y):
         """(ph (S,S,N), r0 (N,), c0 (N,)) contact window per env; plane
-        (zeros) when grid is None."""
+        (zeros) when grid is None. Fallback for callers without a cached
+        window (MPC, tests) — per-env extraction is slow on this backend;
+        the env passes its cached window via ``contact_patch`` instead."""
         import jax
-        S = CONTACT_PATCH_S
+        S = self.cc.patch_S
         n = x.shape[-1]
         if grid is None:
             z = jnp.zeros((S, S, n), x.dtype)
@@ -146,7 +149,8 @@ class ChainEngine:
     # ------------------------------------------------------- public step
 
     def step_decimation_pos(self, state: PhysicsState, link_params,
-                            friction, targets, use_pallas=False):
+                            friction, targets, use_pallas=False,
+                            contact_patch=None):
         """Full policy-step physics (decimation x substeps), position
         drive. Returns (state', torques (nq, N), body_forces (3, nb, N))
         — body_forces is the net-contact-force sensor of the last
@@ -155,9 +159,17 @@ class ChainEngine:
         q_lvl = self.to_level(state.q)
         qd_lvl = self.to_level(state.qd)
         tgt_lvl = self.to_level(targets)
-        ph, r0, c0 = self.extract_contact_patch(
-            self.grid, state.pos[0], state.pos[1])
+        if contact_patch is not None:
+            ph, r0, c0 = contact_patch
+        else:
+            ph, r0, c0 = self.extract_contact_patch(
+                self.grid, state.pos[0], state.pos[1])
 
+        n = state.pos.shape[-1]
+        if use_pallas:
+            from legged_gym_tpu.physics.pallas_step import CHUNK
+            if n > CHUNK and n % 128:
+                use_pallas = False     # misaligned env axis: use the twin
         if use_pallas:
             from legged_gym_tpu.physics.pallas_step import \
                 run_decimation_pallas

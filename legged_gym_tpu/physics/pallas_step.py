@@ -4,16 +4,18 @@ TPU kernel, state resident in VMEM throughout.
 
 Why: the physics is dependency-chain-bound — hundreds of tiny elementwise
 ops per substep. Under plain XLA each fusion boundary round-trips HBM and
-the 8-substep loop costs ~4.3 ms at 1800 envs; in a single Mosaic kernel
-the whole loop runs out of VMEM.
+the loop costs ~4.3 ms at 1800 envs; fused, the device-side compute is
+nearly free and the cost is launch + data movement.
 
-Layout: the env batch is reshaped to TWO axes (G, 128) inside the kernel
-— G=8 sublanes x 128 lanes — so every elementwise op runs on FULL (8,128)
-vregs; with the env batch only in lanes, ops would be (K=4, 128) tiles at
-half sublane occupancy (measured 2x slower). The chain (leg) axis and all
-component axes are leading (arrays of vregs). The kernel body is
-literally chain_step.one_sim_dt — the same pure-jnp code validated
-against the general engine on CPU.
+CRITICAL data-movement rule (measured with jax.profiler): padding the
+env axis to a block multiple and slicing it back dominated everything —
+2.3 of 3.0 ms/step went to the XLA dynamic-update-slice/slice fusions
+around the kernel. So this kernel takes FULL arrays as single blocks
+(any env count is legal when block == array) and tiles the env axis
+itself: an in-kernel Python loop over 128-aligned lane chunks keeps the
+working set inside the 16 MB VMEM budget. Chunks are independent robots,
+so each runs the whole decimation loop privately. No HBM-side padding,
+slicing, or grid machinery anywhere.
 
 Reference correspondence: this kernel IS our ``gym.simulate``
 (legged_robot.py:96) — the one true custom-kernel hot spot called out in
@@ -31,16 +33,9 @@ from legged_gym_tpu.physics.chain_step import (ChainConsts, compute_plane,
                                                const_values, fk_chain,
                                                one_sim_dt)
 
-LANES = 128
-MAX_SUBLANE_GROUPS = 8          # env block = G * 128, G <= 8
-
-
-def _pad_last(x, n_pad):
-    n = x.shape[-1]
-    if n == n_pad:
-        return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)]
-    return jnp.pad(x, pad, mode="edge")
+# lane-chunk size: biggest 128-multiple whose per-chunk temps keep the
+# kernel under the 16 MB VMEM scoped budget
+CHUNK = 1024
 
 
 def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
@@ -55,29 +50,37 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
     cm = cc.cm
     L, K = cm.L, cm.K
     n = pos.shape[-1]
-    G = min(MAX_SUBLANE_GROUPS, -(-n // LANES))
-    nb = G * LANES
-    n_pad = -(-n // nb) * nb
     dtype = pos.dtype
 
+    if n <= CHUNK:
+        nb = n                       # single full block: any size legal
+    else:
+        if n % 128:
+            raise ValueError(
+                f"pallas physics path needs num_envs % 128 == 0 above "
+                f"{CHUNK} envs (got {n}); LeggedEnv rounds automatically")
+        nb = 128
+        for cand in range(CHUNK, 127, -128):
+            if n % cand == 0:
+                nb = cand
+                break
+
     env_ins = [
-        _pad_last(lp_base, n_pad),
-        _pad_last(lp_lvl, n_pad),
-        _pad_last(mu.reshape(1, n).astype(dtype), n_pad),
-        _pad_last(targets, n_pad),
-        _pad_last(ph, n_pad),
-        _pad_last(r0.reshape(1, n).astype(dtype), n_pad),
-        _pad_last(c0.reshape(1, n).astype(dtype), n_pad),
-        _pad_last(pos, n_pad),
-        _pad_last(quat, n_pad),
-        _pad_last(vel, n_pad),
-        _pad_last(q, n_pad),
-        _pad_last(qd, n_pad),
+        lp_base,
+        lp_lvl,
+        mu.reshape(1, n).astype(dtype),
+        targets,
+        ph,
+        r0.reshape(1, n).astype(dtype),
+        c0.reshape(1, n).astype(dtype),
+        pos, quat, vel, q, qd,
     ]
 
     # array constants go in as (replicated) inputs — Pallas kernels can't
-    # capture array constants. env_nd=2: the kernel splits the env batch
-    # into (G, 128)
+    # capture array constants. env_nd=2: the kernel splits each block's
+    # env axis into (G, 128) — without the split, (K, nb) tiles pad
+    # sublanes 4 -> 8 and the block blows the VMEM budget
+    G = -(-nb // 128)
     cv_host = const_values(cc, env_nd=2)
     cv_keys = sorted(cv_host.keys())
     const_ins = [jnp.asarray(cv_host[k]) for k in cv_keys]
@@ -97,21 +100,16 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         [const_spec(x.shape) for x in const_ins]
 
     out_shapes = [
-        jax.ShapeDtypeStruct((3, n_pad), dtype),        # pos
-        jax.ShapeDtypeStruct((4, n_pad), dtype),        # quat
-        jax.ShapeDtypeStruct((6, n_pad), dtype),        # vel
-        jax.ShapeDtypeStruct((L, K, n_pad), dtype),     # q
-        jax.ShapeDtypeStruct((L, K, n_pad), dtype),     # qd
-        jax.ShapeDtypeStruct((L, K, n_pad), dtype),     # tau
-        jax.ShapeDtypeStruct((3, cm.n_bodies, n_pad), dtype),  # body_f
+        jax.ShapeDtypeStruct((3, n), dtype),        # pos
+        jax.ShapeDtypeStruct((4, n), dtype),        # quat
+        jax.ShapeDtypeStruct((6, n), dtype),        # vel
+        jax.ShapeDtypeStruct((L, K, n), dtype),     # q
+        jax.ShapeDtypeStruct((L, K, n), dtype),     # qd
+        jax.ShapeDtypeStruct((L, K, n), dtype),     # tau
+        jax.ShapeDtypeStruct((3, cm.n_bodies, n), dtype),  # body_f
     ]
     out_specs = [env_spec(s.shape) for s in out_shapes]
-
     n_env_in = len(env_ins)
-
-    def split(a):
-        """(..., nb) -> (..., G, 128): env batch into sublanes x lanes."""
-        return a.reshape(a.shape[:-1] + (G, LANES))
 
     def kernel(*refs):
         env_refs = refs[:n_env_in]
@@ -122,23 +120,30 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         (pos_o, quat_o, vel_o, q_o, qd_o, tau_o, bodyf_o) = out_refs
 
         cv = {k: r[...] for k, r in zip(cv_keys, cv_refs)}
+
+        def split(a):
+            """(..., nb) -> (..., G, 128) when nb is a 128-multiple,
+            else (..., 1, nb) (small single-block case)."""
+            if nb % 128 == 0:
+                return a.reshape(a.shape[:-1] + (G, 128))
+            return a.reshape(a.shape[:-1] + (1, nb))
+
         lp_base_v = split(lpb[...])
         lp_lvl_v = split(lpl[...])
-        mu_v = split(mu_r[...])[0]        # (G, 128)
+        mu_v = split(mu_r[...])[0]
         tgt_v = split(tgt[...])
         ph_v = split(ph_r[...])
         r0_v = split(r0_r[...])[0]
         c0_v = split(c0_r[...])[0]
-        state5 = tuple(split(r[...]) for r in
-                       (pos_r, quat_r, vel_r, q_r, qd_r))
+        state5 = tuple(split(r[...])
+                       for r in (pos_r, quat_r, vel_r, q_r, qd_r))
 
         if cc.plane_per_step:
             fk0 = fk_chain(cc, cv, *state5)
             plane0 = compute_plane(cc, cv, fk0, ph_v, r0_v, c0_v)
 
             # the plane rides the fori carry explicitly (a pre-loop
-            # closure over it crashed the Mosaic compile helper at
-            # multi-block grids)
+            # closure over it crashed the Mosaic compile helper)
             def body(_i, carry):
                 state5, plane = carry
                 state5, tau, body_f = one_sim_dt(
@@ -160,19 +165,17 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
                 return state5
 
             state5 = jax.lax.fori_loop(0, cc.decimation, body, state5)
+
         for ref, a in zip((pos_o, quat_o, vel_o, q_o, qd_o), state5):
             ref[...] = a.reshape(a.shape[:-2] + (nb,))
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_pad // nb,),
+        grid=(n // nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(*(env_ins + const_ins))
 
-    pos_n, quat_n, vel_n, q_n, qd_n, tau_n, body_f = out
-    sl = lambda x: x[..., :n]
-    return (sl(pos_n), sl(quat_n), sl(vel_n), sl(q_n), sl(qd_n),
-            sl(tau_n), sl(body_f))
+    return tuple(out[:6]) + (out[6],)
