@@ -40,7 +40,8 @@ class ChainEngine:
             raise NotChainStructured("fixed base")
         if not sim.contact.implicit:
             raise NotChainStructured("explicit contact not supported")
-        cm = build_chain_model(model, engine.cp_m_eff)
+        cm = build_chain_model(model, engine.cp_m_eff,
+                               engine.cp_m_eff_t)
         self.engine = engine
         self.model = model
         self.cm = cm
@@ -71,8 +72,10 @@ class ChainEngine:
             mu_terrain=sim.contact.terrain_friction,
             slip_velocity=sim.contact.slip_velocity,
             baumgarte=sim.contact.baumgarte,
+            max_pushout_vel=sim.contact.max_pushout_vel,
             border_size=0.0,      # set by bind_grid
             horizontal_scale=1.0,
+            wall_thresh=0.0,      # set by bind_grid
             patch_S=patch_S,
             plane_per_step=plane_per_step)
 
@@ -94,11 +97,13 @@ class ChainEngine:
         import dataclasses
         if grid is None:
             self.cc = dataclasses.replace(self.cc, border_size=0.0,
-                                          horizontal_scale=1.0)
+                                          horizontal_scale=1.0,
+                                          wall_thresh=0.0)
         else:
             self.cc = dataclasses.replace(
                 self.cc, border_size=grid.border_size,
-                horizontal_scale=grid.horizontal_scale)
+                horizontal_scale=grid.horizontal_scale,
+                wall_thresh=getattr(grid, "wall_thresh", 0.0))
         self.grid = grid
 
     # ------------------------------------------------------ conversions

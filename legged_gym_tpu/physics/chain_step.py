@@ -56,8 +56,12 @@ class ChainConsts:
     mu_terrain: float
     slip_velocity: float
     baumgarte: float
+    max_pushout_vel: float
     border_size: float
     horizontal_scale: float
+    # trimesh vertical-face rule (TerrainGrid.wall_thresh): >0 enables
+    # the per-cell wall collapse in sample_patch_plane
+    wall_thresh: float
     patch_S: int
     # sample the contact plane once per POLICY step (True, default) or
     # once per sim dt (False). Per-policy-step matches PhysX's broadphase
@@ -125,6 +129,7 @@ def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
         cv[f"goff{gi}"] = t(np.moveaxis(g.offs, -1, 0))  # (3,S,K,1*)
         cv[f"grad{gi}"] = t(g.radius)                    # (S,K,1*)
         cv[f"gme{gi}"] = t(g.m_eff)
+        cv[f"gmet{gi}"] = t(g.m_eff_t)
         cv[f"gact{gi}"] = t(g.active.astype(np.float64))
     return {k: np.asarray(v, dtype) for k, v in cv.items()}
 
@@ -272,6 +277,26 @@ def sample_patch_plane(cc: ChainConsts, cv, ph, pr0, pc0, x, y):
     h = jnp.sum(txp * wy, axis=s_axis)
     dhdy = jnp.sum(txp * dwy, axis=s_axis)
     dhdx = jnp.sum(gxp * wy, axis=s_axis)
+    if cc.wall_thresh > 0.0:
+        # trimesh vertical-face rule (TerrainGrid.wall_thresh): steep
+        # cells collide as a flat floor at the min corner. mw: per-cell
+        # min where the corner spread exceeds the threshold, +BIG
+        # elsewhere (elementwise shifts; Mosaic-safe — no gathers).
+        ph_r = jnp.concatenate([ph[1:], ph[-1:]], axis=0)
+        ph_c = jnp.concatenate([ph[:, 1:], ph[:, -1:]], axis=1)
+        ph_rc = jnp.concatenate([ph_c[1:], ph_c[-1:]], axis=0)
+        m4 = jnp.minimum(jnp.minimum(ph, ph_r), jnp.minimum(ph_c, ph_rc))
+        big4 = jnp.maximum(jnp.maximum(ph, ph_r),
+                           jnp.maximum(ph_c, ph_rc))
+        mw = jnp.where(big4 - m4 > cc.wall_thresh, m4, 1e9)
+        mp = row(ex, 0) * mw[0]
+        for r in range(1, S):
+            mp = mp + row(ex, r) * mw[r]
+        mq = jnp.sum(mp * ey, axis=s_axis)
+        steep = mq < h
+        h = jnp.where(steep, mq, h)
+        dhdx = jnp.where(steep, 0.0, dhdx)
+        dhdy = jnp.where(steep, 0.0, dhdy)
     return h, dhdx, dhdy
 
 
@@ -297,7 +322,7 @@ def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
     depth = r + (h - z) * nz
     vx, vy, vz = vel[0], vel[1], vel[2]
     v_n = vx * nx + vy * ny + vz * nz
-    v_push = cc.baumgarte * depth / dt_in
+    v_push = jnp.minimum(cc.baumgarte * depth / dt_in, cc.max_pushout_vel)
     fn_mag = jnp.where(depth > 0.0,
                        (me / dt_in) * jnp.maximum(v_push - v_n, 0.0),
                        0.0) * act
@@ -307,8 +332,9 @@ def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
     vtz = vz - v_n * nz
     vt = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
     mu = 0.5 * (mu_env + cc.mu_terrain)
+    met = cv[f"gmet{gi}"]
     ft_over_vt = jnp.minimum(mu * fn_mag / (vt + cc.slip_velocity),
-                             me / dt_in)
+                             met / dt_in)
     return jnp.stack([fn_mag * nx - ft_over_vt * vtx,
                       fn_mag * ny - ft_over_vt * vty,
                       fn_mag * nz - ft_over_vt * vtz])

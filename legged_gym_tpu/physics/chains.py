@@ -37,6 +37,7 @@ class PointGroup:
     offs: np.ndarray           # (S, K, 3) point offset in link frame
     radius: np.ndarray         # (S, K)
     m_eff: np.ndarray          # (S, K) apparent mass (engine-provided)
+    m_eff_t: np.ndarray        # (S, K) tangential (friction-cap) mass
     active: np.ndarray         # (S, K) bool
     cp_index: np.ndarray       # (S, K) original index into model.cp_* (-1
     #                            for inactive slots)
@@ -70,11 +71,12 @@ class ChainModel:
     n_bodies: int              # report bodies (contact-sensor rows)
 
 
-def build_chain_model(model, m_eff) -> ChainModel:
+def build_chain_model(model, m_eff, m_eff_t=None) -> ChainModel:
     """Decompose `model` (RobotModel) into base + serial chains.
 
     m_eff: (P,) apparent contact masses (computed by the Engine; stored
-    per point group here).
+    per point group here). m_eff_t: (P,) tangential masses for the
+    friction cap (defaults to m_eff).
 
     Raises NotChainStructured if any non-base link has more than one
     child, or any prismatic joint is present (not needed for the
@@ -131,6 +133,8 @@ def build_chain_model(model, m_eff) -> ChainModel:
             link_chain[li] = k
 
     P = len(model.cp_link)
+    if m_eff_t is None:
+        m_eff_t = m_eff
     groups = []
     # base group
     base_sel = np.nonzero(model.cp_link == 0)[0]
@@ -141,6 +145,7 @@ def build_chain_model(model, m_eff) -> ChainModel:
             offs=model.cp_pos[base_sel][:, None, :].copy(),
             radius=model.cp_radius[base_sel][:, None].copy(),
             m_eff=np.asarray(m_eff)[base_sel][:, None].copy(),
+            m_eff_t=np.asarray(m_eff_t)[base_sel][:, None].copy(),
             active=np.ones((S, 1), bool),
             cp_index=base_sel[:, None].astype(np.int32),
             body=model.cp_body[base_sel][:, None].astype(np.int32)))
@@ -154,6 +159,7 @@ def build_chain_model(model, m_eff) -> ChainModel:
         offs = np.zeros((S, K, 3))
         radius = np.zeros((S, K))
         me = np.ones((S, K))
+        met = np.ones((S, K))
         act = np.zeros((S, K), bool)
         cpi = np.full((S, K), -1, np.int32)
         bod = np.zeros((S, K), np.int32)
@@ -162,12 +168,13 @@ def build_chain_model(model, m_eff) -> ChainModel:
             offs[:n, k] = model.cp_pos[pc]
             radius[:n, k] = model.cp_radius[pc]
             me[:n, k] = np.asarray(m_eff)[pc]
+            met[:n, k] = np.asarray(m_eff_t)[pc]
             act[:n, k] = True
             cpi[:n, k] = pc
             bod[:n, k] = model.cp_body[pc]
         groups.append(PointGroup(level=l, offs=offs, radius=radius,
-                                 m_eff=me, active=act, cp_index=cpi,
-                                 body=bod))
+                                 m_eff=me, m_eff_t=met, active=act,
+                                 cp_index=cpi, body=bod))
 
     return ChainModel(
         K=K, L=L, J=J, LI=LI, active=active,

@@ -43,12 +43,16 @@ class ContactConfig:
     # velocity caps (observed). Friction gain is capped at m_eff/dt (one
     # step can at most stop the slip, never reverse it).
     implicit: bool = True
-    baumgarte: float = 0.5         # pushout gain; static penetration
-    # d* = W dt^2 / (m_eff * baumgarte) ~= 1.8 mm for a go1 foot
+    baumgarte: float = 1.0         # pushout gain; static penetration
+    # d* = W dt^2 / (m_eff * baumgarte) ~= 1.4 mm for a go1 foot with the
+    # numerically calibrated m_eff (engine.calibrate_contact_mass)
+    max_pushout_vel: float = 0.5   # [m/s] cap on the Baumgarte pushout
+    # velocity so deep spawn penetrations are resolved over a few steps
+    # instead of launching the robot
 
 
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
-                   dt=None, m_eff=None, patch=None):
+                   dt=None, m_eff=None, m_eff_t=None, patch=None):
     """Compute per-point world contact forces (stacked layout).
 
     Args:
@@ -84,7 +88,8 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
     v_n = vx * nx + vy * ny + vz * nz
     if cfg.implicit:
         me = jnp.asarray(m_eff, cp_pos.dtype)[:, None]          # (P, 1)
-        v_push = cfg.baumgarte * depth / dt
+        v_push = jnp.minimum(cfg.baumgarte * depth / dt,
+                             cfg.max_pushout_vel)
         fn_raw = (me / dt) * jnp.maximum(v_push - v_n, 0.0)
     else:
         fn_raw = jnp.maximum(
@@ -100,8 +105,13 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
     # |f_t| = mu f_n * vt / (vt + v_slip): saturating, zero at rest
     ft_over_vt = mu * fn_mag / (vt + cfg.slip_velocity)
     if cfg.implicit:
-        # impulse cap: one substep can at most stop the slip
-        ft_over_vt = jnp.minimum(ft_over_vt, me / dt)
+        # impulse cap: one substep can at most stop the slip. Uses the
+        # TANGENTIAL apparent mass (lateral leg inertia), which is far
+        # below the servo-stiffened normal mass — capping with the
+        # normal mass over-corrects slip and rings the leg laterally.
+        met = me if m_eff_t is None else jnp.asarray(
+            m_eff_t, cp_pos.dtype)[:, None]
+        ft_over_vt = jnp.minimum(ft_over_vt, met / dt)
 
     fx = fn_mag * nx - ft_over_vt * vtx
     fy = fn_mag * ny - ft_over_vt * vty

@@ -130,6 +130,11 @@ class Engine:
                 inv_m = inv_m + r2 * lam
             m_eff.append(1.0 / inv_m)
         self.cp_m_eff = np.asarray(m_eff) if m_eff else np.zeros(0)
+        # tangential (friction-cap) apparent mass; refined separately by
+        # calibrate_contact_mass — lateral leg inertia is far below the
+        # normal-direction servo-stiffened inertia, and using the normal
+        # mass for the friction cap over-corrects slip into chatter
+        self.cp_m_eff_t = self.cp_m_eff.copy()
         # implicit joint-space diagonal: URDF damping + PD kd + dt*kp,
         # plus the armature floor (rotor-inertia regularization)
         self._imp_pd = (self.dt_inner
@@ -141,6 +146,78 @@ class Engine:
                              + sim.armature_floor)[:, None]
         self._has_joint_damping = bool(np.any(model.dof_damping != 0.0))
 
+    def calibrate_contact_mass(self, q0, inertia_params_fn,
+                               safety=0.7):
+        """Replace the analytic apparent-mass LOWER bound with a numeric
+        probe of the true step-response mass at every collision point.
+
+        The analytic bound (above) ignores the implicit PD servo
+        impedance dt*(kd + dt*kp) + armature, which at 5 ms dominates the
+        rigid-body term: for a go1 foot the true apparent mass is ~0.61 kg
+        vs the 0.089 kg bound — a 6.9x underestimate that made the
+        implicit contact law 7x too soft (measured 15 mm standing
+        penetration; the calf collision points then drag on the ground
+        and the reference's collision penalty fires continuously,
+        zeroing the whole reward under only_positive_rewards).
+
+        Probe: one engine substep (PD holding q0, no contact) per
+        collision point, with a unit world-z force at that point;
+        m_app = F * dt / dv_z. Runs one tiny batched jit at construction
+        (batch = #points). `safety` keeps the estimate a lower bound
+        across configurations (the probe is at the default pose).
+
+        q0: (nq,) calibration joint positions (env default_dof_pos).
+        inertia_params_fn: n -> nominal link-inertia pytree with batch n.
+        """
+        m = self.model
+        P = len(m.cp_link)
+        if P == 0:
+            return
+        import numpy as np
+        from legged_gym_tpu.physics.kinematics import (
+            contact_point_kinematics, forward_kinematics)
+        from legged_gym_tpu.physics.state import PhysicsState
+
+        def probe():
+            n = 3 * P         # env (3k + a): unit force along axis a at
+            dtype = jnp.float32   # point k
+            q = jnp.broadcast_to(
+                jnp.asarray(q0, dtype)[:, None], (m.nq, n))
+            pos = jnp.zeros((3, n), dtype).at[2].set(100.0)  # airborne
+            quat = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype)[:, None], (4, n))
+            phys = PhysicsState(pos=pos, quat=quat,
+                                vel=jnp.zeros((6, n), dtype),
+                                q=q, qd=jnp.zeros((m.nq, n), dtype))
+            params = inertia_params_fn(n)
+            tau = jnp.zeros((m.nq, n), dtype)  # PD at target: servo
+            # impedance enters via implicit_d below
+            fk = forward_kinematics(m, phys)
+            cp_pos, _ = contact_point_kinematics(m, fk)
+            pt = jnp.tile(jnp.eye(P, dtype=dtype), (1, 3))     # (P, 3P)
+            ax = jnp.repeat(jnp.eye(3, dtype=dtype), P, axis=1)  # (3, 3P)
+            f_pts = ax[:, None, :] * pt[None]                  # (3, P, 3P)
+            link_f, link_n = accumulate_link_wrenches(m, fk, cp_pos, f_pts)
+            implicit_d = jnp.asarray(self._imp_pd, dtype)
+            a0, qdd = aba(m, params, fk, phys.qd, tau, f_ext_w=link_f,
+                          n_ext_w=link_n, gravity=(0.0, 0.0, 0.0),
+                          fixed_base=self.fixed_base,
+                          implicit_d=implicit_d)
+            new = integrate(phys, a0, qdd, self.dt_inner)
+            fk2 = forward_kinematics(m, new)
+            _, cp_vel2 = contact_point_kinematics(m, fk2)
+            # dv along the probe axis of point k in env 3k+a
+            karo = jnp.arange(P)
+            dv = jnp.stack([cp_vel2[a][karo, a * P + karo]
+                            for a in range(3)])                # (3, P)
+            return self.dt_inner / jnp.maximum(dv, 1e-9)
+
+        m_num = np.asarray(jax.jit(probe)())                   # (3, P)
+        self.cp_m_eff = np.maximum(self.cp_m_eff, safety * m_num[2])
+        self.cp_m_eff_t = np.maximum(
+            np.minimum(self.cp_m_eff_t, self.cp_m_eff),
+            safety * np.minimum(m_num[0], m_num[1]))
+
     # ---- one inner substep ----
     def _substep(self, state, inertia_params, friction, tau_fn, implicit_d,
                  patch=None):
@@ -150,7 +227,7 @@ class Engine:
             f_pts = contact_forces(self.model, self.grid, self.sim.contact,
                                    cp_pos, cp_vel, friction,
                                    dt=self.dt_inner, m_eff=self.cp_m_eff,
-                                   patch=patch)
+                                   m_eff_t=self.cp_m_eff_t, patch=patch)
             link_f, link_n = accumulate_link_wrenches(self.model, fk,
                                                       cp_pos, f_pts)
             body_forces = accumulate_body_forces(self.model, f_pts)
