@@ -43,7 +43,12 @@ def sample_min3(grid, x, y):
 
 
 def sample_bilinear(grid, x, y):
-    """Returns (h, dh/dx, dh/dy) at world (x, y); flat plane if grid None."""
+    """Returns (h, dh/dx, dh/dy) at world (x, y); flat plane if grid None.
+
+    When ``grid.wall_thresh > 0`` (trimesh mode) cells whose corner
+    spread exceeds it collide as a flat floor at the min corner — the
+    vertical-face rule (see TerrainGrid.wall_thresh): stairs are steps,
+    not ramps."""
     if grid is None:
         z = jnp.zeros_like(x)
         return z, z, z
@@ -58,6 +63,13 @@ def sample_bilinear(grid, x, y):
     inv_hs = 1.0 / grid.horizontal_scale
     dhdx = ((h10 - h00) * (1 - ty) + (h11 - h01) * ty) * inv_hs
     dhdy = ((h01 - h00) * (1 - tx) + (h11 - h10) * tx) * inv_hs
+    if getattr(grid, "wall_thresh", 0.0) > 0.0:
+        m4 = jnp.minimum(jnp.minimum(h00, h10), jnp.minimum(h01, h11))
+        big4 = jnp.maximum(jnp.maximum(h00, h10), jnp.maximum(h01, h11))
+        steep = (big4 - m4) > grid.wall_thresh
+        h = jnp.where(steep, m4, h)
+        dhdx = jnp.where(steep, 0.0, dhdx)
+        dhdy = jnp.where(steep, 0.0, dhdy)
     return h, dhdx, dhdy
 
 
@@ -148,7 +160,34 @@ def patch_sample_bilinear(grid, patch, x, y):
     gxp = jnp.einsum("pnr,nrc->pnc", dwx, patch.h,
                      preferred_element_type=dt)
     dhdx = jnp.einsum("pnc,pnc->pn", gxp, wy)
+    if getattr(grid, "wall_thresh", 0.0) > 0.0:
+        # vertical-face (trimesh) rule: one extra lookup against the
+        # per-cell wall grid (min corner where spread > thresh, +BIG
+        # elsewhere); see TerrainGrid.wall_thresh
+        mw = _wall_grid(patch.h, grid.wall_thresh)       # (N, S, S)
+        mp = jnp.einsum("pnr,nrc->pnc", ex, mw, preferred_element_type=dt)
+        mq = jnp.einsum("pnc,pnc->pn", mp, ey)
+        steep = mq < h
+        h = jnp.where(steep, mq, h)
+        dhdx = jnp.where(steep, 0.0, dhdx)
+        dhdy = jnp.where(steep, 0.0, dhdy)
     return h, dhdx, dhdy
+
+
+_WALL_BIG = 1e9
+
+
+def _wall_grid(h, wall_thresh):
+    """Per-cell wall grid for the trimesh vertical-face rule: entry
+    (r, c) = min of the cell's 4 corners when the corner spread exceeds
+    ``wall_thresh``, else +BIG. Elementwise shifts only; the last
+    row/col is never a query cell (floor coords are clamped to S-2)."""
+    hr = jnp.concatenate([h[..., 1:, :], h[..., -1:, :]], axis=-2)
+    hc = jnp.concatenate([h[..., :, 1:], h[..., :, -1:]], axis=-1)
+    hrc = jnp.concatenate([hc[..., 1:, :], hc[..., -1:, :]], axis=-2)
+    m4 = jnp.minimum(jnp.minimum(h, hr), jnp.minimum(hc, hrc))
+    big4 = jnp.maximum(jnp.maximum(h, hr), jnp.maximum(hc, hrc))
+    return jnp.where(big4 - m4 > wall_thresh, m4, _WALL_BIG)
 
 
 def patch_sample_min3(grid, patch, x, y):

@@ -1,11 +1,16 @@
-"""Global terrain map: rows x cols of sub-terrains + border.
+"""Global terrain map: a grid of procedurally generated cells + border.
 
-Mirrors the reference generator's structure and parameters
+Behavior parity with the reference generator
 (/root/reference/legged_gym/utils/terrain.py:38-164): int16 global
 heightfield at horizontal_scale=0.1 m / vertical_scale=0.005 m with a
 border, three selection modes (curriculum / randomized / selected),
 difficulty-parameterized primitives, and per-cell spawn origins at the max
-height of the central 2x2 m patch.
+height of the central 2x2 m patch. The difficulty formulas and the
+proportions dispatch ARE the task definition and are kept; the
+implementation is plan/generate/assemble: cells are planned as
+(choice, difficulty) pairs, generated into a (rows, cols, h, w) block
+stack, and assembled + originated with single vectorized numpy ops
+instead of a per-cell blit loop.
 
 The device-side product is a ``TerrainGrid``: a float32 height map (meters)
 plus metadata, consumed by the contact solver and the height scanner.
@@ -29,6 +34,13 @@ class TerrainGrid:
     horizontal_scale: float
     vertical_scale: float
     border_size: float
+    # trimesh vertical-face collision rule: cells whose corner spread
+    # exceeds this (meters; slope_treshold * horizontal_scale) collide as
+    # a flat floor at the min corner with a vertical wall at the
+    # gridline — the sampler-level equivalent of the reference's
+    # slope-corrected trimesh (utils/terrain.py:69-73,
+    # legged_robot.py:629-643). 0 = plain bilinear (heightfield mode).
+    wall_thresh: float = 0.0
 
     @staticmethod
     def flat(size_m=40.0, horizontal_scale=0.1):
@@ -42,8 +54,9 @@ class TerrainGrid:
 
 
 class Terrain:
-    """Host-side generator (init-time numpy), API-parallel to the
-    reference's ``Terrain`` (terrain.py:38)."""
+    """Host-side generator (init-time numpy). Public surface matches the
+    reference ``Terrain`` (terrain.py:38): ``height_field_raw``,
+    ``env_origins``, plus ``grid()`` for the device product."""
 
     def __init__(self, cfg, num_robots, seed=0):
         self.cfg = cfg
@@ -52,138 +65,136 @@ class Terrain:
         self.rng = np.random.default_rng(seed)
         if self.type in ["none", "plane"]:
             return
-        self.env_length = cfg.terrain_length
-        self.env_width = cfg.terrain_width
-        self.proportions = [np.sum(cfg.terrain_proportions[:i + 1])
-                            for i in range(len(cfg.terrain_proportions))]
 
-        self.num_sub_terrains = cfg.num_rows * cfg.num_cols
-        self.env_origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
+        nr, nc = cfg.num_rows, cfg.num_cols
+        hs = cfg.horizontal_scale
+        self.env_length = cfg.terrain_length   # consumed by the terrain
+        self.env_width = cfg.terrain_width     # curriculum (legged_env)
+        self.cell_m = (cfg.terrain_length, cfg.terrain_width)
+        self.cell_px = (int(cfg.terrain_length / hs),
+                        int(cfg.terrain_width / hs))
+        self.border_px = int(cfg.border_size / hs)
+        self._cum_props = np.cumsum(cfg.terrain_proportions)
 
-        self.width_per_env_pixels = int(self.env_width / cfg.horizontal_scale)
-        self.length_per_env_pixels = int(self.env_length / cfg.horizontal_scale)
+        stack = np.zeros((nr, nc) + self.cell_px, np.int16)
+        for (i, j), (choice, difficulty) in self._plan(nr, nc):
+            stack[i, j] = self._build_cell(choice, difficulty)
 
-        self.border = int(cfg.border_size / cfg.horizontal_scale)
-        self.tot_cols = int(cfg.num_cols * self.width_per_env_pixels) + 2 * self.border
-        self.tot_rows = int(cfg.num_rows * self.length_per_env_pixels) + 2 * self.border
-
-        self.height_field_raw = np.zeros((self.tot_rows, self.tot_cols), np.int16)
-        if cfg.curriculum:
-            self._curriculum()
-        elif cfg.selected:
-            self._selected()
-        else:
-            self._randomized()
-
+        self.height_field_raw = self._assemble(stack)
+        self.env_origins = self._origins(stack)
         self.heightsamples = self.height_field_raw
         if self.type == "trimesh":
             self.vertices, self.triangles = convert_heightfield_to_trimesh(
-                self.height_field_raw, cfg.horizontal_scale,
-                cfg.vertical_scale, getattr(cfg, "slope_treshold", 0.75))
+                self.height_field_raw, hs, cfg.vertical_scale,
+                getattr(cfg, "slope_treshold", 0.75))
 
-    # --- selection modes (reference terrain.py:75-107) ---
-    def _randomized(self):
-        for k in range(self.num_sub_terrains):
-            i, j = np.unravel_index(k, (self.cfg.num_rows, self.cfg.num_cols))
-            choice = self.rng.uniform(0, 1)
-            difficulty = self.rng.choice([0.5, 0.75, 0.9])
-            self._add(self._make(choice, difficulty), i, j)
+    # ------------------------------------------------------------- plan
+    def _plan(self, nr, nc):
+        """Yield ((row, col), (choice, difficulty)) per cell — the three
+        selection modes of reference terrain.py:75-107."""
+        cfg = self.cfg
+        for i in range(nr):
+            for j in range(nc):
+                if cfg.curriculum:
+                    yield (i, j), (j / nc + 0.001, i / nr)
+                elif cfg.selected:
+                    yield (i, j), (None, None)
+                else:
+                    yield (i, j), (self.rng.uniform(0, 1),
+                                   self.rng.choice([0.5, 0.75, 0.9]))
 
-    def _curriculum(self):
-        for j in range(self.cfg.num_cols):
-            for i in range(self.cfg.num_rows):
-                difficulty = i / self.cfg.num_rows
-                choice = j / self.cfg.num_cols + 0.001
-                self._add(self._make(choice, difficulty), i, j)
+    # --------------------------------------------------------- generate
+    def _build_cell(self, choice, difficulty):
+        """One cell heightfield. The difficulty->parameter formulas and
+        the cumulative-proportion dispatch mirror reference
+        terrain.py:109-145 exactly (they define the task family)."""
+        cfg = self.cfg
+        hs, vs = cfg.horizontal_scale, cfg.vertical_scale
+        hf = np.zeros(self.cell_px, np.int16)
 
-    def _selected(self):
-        kwargs = dict(self.cfg.terrain_kwargs)
-        name = kwargs.pop("type")
-        fn = getattr(P, name)
-        for k in range(self.num_sub_terrains):
-            i, j = np.unravel_index(k, (self.cfg.num_rows, self.cfg.num_cols))
-            hf = np.zeros((self.length_per_env_pixels,
-                           self.width_per_env_pixels), np.int16)
-            fn(hf, self.cfg.horizontal_scale, self.cfg.vertical_scale, **kwargs)
-            self._add(hf, i, j)
+        if choice is None:                    # "selected" mode
+            kwargs = dict(cfg.terrain_kwargs)
+            getattr(P, kwargs.pop("type"))(hf, hs, vs, **kwargs)
+            return hf
 
-    def _make(self, choice, difficulty):
-        """Difficulty-parameterized primitive dispatch
-        (reference terrain.py:109-145)."""
-        hs, vs = self.cfg.horizontal_scale, self.cfg.vertical_scale
-        hf = np.zeros((self.length_per_env_pixels,
-                       self.width_per_env_pixels), np.int16)
-        slope = difficulty * 0.4
-        step_height = 0.05 + 0.18 * difficulty
-        discrete_obstacles_height = 0.05 + difficulty * 0.2
-        stepping_stones_size = 1.5 * (1.05 - difficulty)
-        stone_distance = 0.05 if difficulty == 0 else 0.1
-        gap_size = 1.0 * difficulty
-        pit_depth = 1.0 * difficulty
-        pr = self.proportions
-        if choice < pr[0]:
-            if choice < pr[0] / 2:
-                slope *= -1
-            P.pyramid_sloped(hf, hs, vs, slope=slope, platform_size=3.0)
-        elif choice < pr[1]:
-            P.pyramid_sloped(hf, hs, vs, slope=slope, platform_size=3.0)
+        d = difficulty
+        cp = self._cum_props
+        if choice < cp[0]:
+            sgn = -1.0 if choice < cp[0] / 2 else 1.0
+            P.pyramid_sloped(hf, hs, vs, slope=sgn * d * 0.4,
+                             platform_size=3.0)
+        elif choice < cp[1]:
+            P.pyramid_sloped(hf, hs, vs, slope=d * 0.4, platform_size=3.0)
             P.random_uniform(hf, hs, vs, min_height=-0.05, max_height=0.05,
-                             step=0.005, downsampled_scale=0.2, rng=self.rng)
-        elif choice < pr[3]:
-            if choice < pr[2]:
-                step_height *= -1
+                             step=0.005, downsampled_scale=0.2,
+                             rng=self.rng)
+        elif choice < cp[3]:
+            sgn = -1.0 if choice < cp[2] else 1.0
             P.pyramid_stairs(hf, hs, vs, step_width=0.31,
-                             step_height=step_height, platform_size=3.0)
-        elif choice < pr[4]:
-            P.discrete_obstacles(hf, hs, vs, discrete_obstacles_height,
-                                 1.0, 2.0, 20, platform_size=3.0, rng=self.rng)
-        elif len(pr) > 5 and choice < pr[5]:
-            P.stepping_stones(hf, hs, vs, stone_size=stepping_stones_size,
-                              stone_distance=stone_distance, max_height=0.0,
-                              platform_size=4.0, rng=self.rng)
-        elif len(pr) > 6 and choice < pr[6]:
-            P.gap(hf, hs, vs, gap_size=gap_size, platform_size=3.0)
-        elif len(pr) > 5:
-            P.pit(hf, hs, vs, depth=pit_depth, platform_size=4.0)
+                             step_height=sgn * (0.05 + 0.18 * d),
+                             platform_size=3.0)
+        elif choice < cp[4]:
+            P.discrete_obstacles(hf, hs, vs, 0.05 + d * 0.2, 1.0, 2.0, 20,
+                                 platform_size=3.0, rng=self.rng)
+        elif len(cp) > 5 and choice < cp[5]:
+            P.stepping_stones(hf, hs, vs,
+                              stone_size=1.5 * (1.05 - d),
+                              stone_distance=(0.05 if d == 0 else 0.1),
+                              max_height=0.0, platform_size=4.0,
+                              rng=self.rng)
+        elif len(cp) > 6 and choice < cp[6]:
+            P.gap(hf, hs, vs, gap_size=1.0 * d, platform_size=3.0)
+        elif len(cp) > 5:
+            P.pit(hf, hs, vs, depth=1.0 * d, platform_size=4.0)
         else:
-            P.discrete_obstacles(hf, hs, vs, discrete_obstacles_height,
-                                 1.0, 2.0, 20, platform_size=3.0, rng=self.rng)
+            P.discrete_obstacles(hf, hs, vs, 0.05 + d * 0.2, 1.0, 2.0, 20,
+                                 platform_size=3.0, rng=self.rng)
         return hf
 
-    def _add(self, hf, row, col):
-        """Blit a sub-terrain and record its spawn origin
-        (reference terrain.py:147-164)."""
-        i, j = row, col
-        hs = self.cfg.horizontal_scale
-        start_x = self.border + i * self.length_per_env_pixels
-        end_x = self.border + (i + 1) * self.length_per_env_pixels
-        start_y = self.border + j * self.width_per_env_pixels
-        end_y = self.border + (j + 1) * self.width_per_env_pixels
-        self.height_field_raw[start_x:end_x, start_y:end_y] = hf
+    # --------------------------------------------------------- assemble
+    def _assemble(self, stack):
+        """(nr, nc, h, w) cell stack -> bordered global int16 field in one
+        transpose+reshape+pad (no per-cell blitting)."""
+        nr, nc, h, w = stack.shape
+        interior = stack.transpose(0, 2, 1, 3).reshape(nr * h, nc * w)
+        b = self.border_px
+        return np.pad(interior, ((b, b), (b, b)))
 
-        env_origin_x = (i + 0.5) * self.env_length
-        env_origin_y = (j + 0.5) * self.env_width
-        x1 = int((self.env_length / 2.0 - 1) / hs)
-        x2 = int((self.env_length / 2.0 + 1) / hs)
-        y1 = int((self.env_width / 2.0 - 1) / hs)
-        y2 = int((self.env_width / 2.0 + 1) / hs)
-        env_origin_z = np.max(hf[x1:x2, y1:y2]) * self.cfg.vertical_scale
-        self.env_origins[i, j] = [env_origin_x, env_origin_y, env_origin_z]
+    def _origins(self, stack):
+        """(nr, nc, 3) spawn origins: cell centers in xy; z = max height
+        of the central 2x2 m patch (reference terrain.py:158-164),
+        vectorized over all cells."""
+        nr, nc, h, w = stack.shape
+        hs, vs = self.cfg.horizontal_scale, self.cfg.vertical_scale
+        Lm, Wm = self.cell_m
+        x1, x2 = int((Lm / 2 - 1) / hs), int((Lm / 2 + 1) / hs)
+        y1, y2 = int((Wm / 2 - 1) / hs), int((Wm / 2 + 1) / hs)
+        z = stack[:, :, x1:x2, y1:y2].max(axis=(2, 3)) * vs
+        ox = (np.arange(nr)[:, None] + 0.5) * Lm * np.ones((1, nc))
+        oy = np.ones((nr, 1)) * (np.arange(nc)[None, :] + 0.5) * Wm
+        return np.stack([ox, oy, z], axis=-1)
 
+    # ----------------------------------------------------------- device
     def grid(self) -> TerrainGrid:
         h = self.height_field_raw.astype(np.float32) * self.cfg.vertical_scale
+        wall = 0.0
+        if self.type == "trimesh":
+            wall = (getattr(self.cfg, "slope_treshold", 0.75)
+                    * self.cfg.horizontal_scale)
         return TerrainGrid(height=jnp.asarray(h),
                            raw=jnp.asarray(self.height_field_raw),
                            horizontal_scale=self.cfg.horizontal_scale,
                            vertical_scale=self.cfg.vertical_scale,
-                           border_size=self.cfg.border_size)
+                           border_size=self.cfg.border_size,
+                           wall_thresh=wall)
 
 
 def convert_heightfield_to_trimesh(hf, horizontal_scale, vertical_scale,
                                    slope_threshold=0.75):
     """Heightfield -> (vertices, triangles) with steep slopes corrected to
-    vertical faces (API parity with isaacgym.terrain_utils; the TPU
-    collision path keeps using the heightfield)."""
+    vertical faces (API parity with isaacgym.terrain_utils, for export /
+    rendering). The TPU collision path applies the equivalent correction
+    at the sampler level via ``TerrainGrid.wall_thresh``."""
     rows, cols = hf.shape
     y = np.linspace(0, (cols - 1) * horizontal_scale, cols)
     x = np.linspace(0, (rows - 1) * horizontal_scale, rows)
@@ -203,7 +214,6 @@ def convert_heightfield_to_trimesh(hf, horizontal_scale, vertical_scale,
         yy += move_y * horizontal_scale
 
     vertices = np.stack([xx.ravel(), yy.ravel(), z.ravel()], axis=1).astype(np.float32)
-    tris = []
     idx = np.arange(rows * cols).reshape(rows, cols)
     a = idx[:-1, :-1].ravel()
     b = idx[:-1, 1:].ravel()
