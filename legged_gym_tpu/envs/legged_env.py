@@ -87,6 +87,8 @@ class EnvState:
 class Transition:
     """Per-step outputs for the learner (batch-first at this boundary)."""
     obs: jnp.ndarray                 # (N, obs_dim)
+    privileged_obs: object           # (N, priv_dim) or None (asymmetric
+    #                                  critic inputs, base_task.py:70-78)
     reward: jnp.ndarray              # (N,)
     done: jnp.ndarray                # (N,) bool (term | timeout)
     time_out: jnp.ndarray            # (N,) bool
@@ -205,6 +207,13 @@ class LeggedEnv:
         self.engine = Engine(self.model, simcfg, grid=self.grid,
                              kp=self.p_gains, kd=self.d_gains,
                              fixed_base=cfg.asset.fix_base_link)
+        # numeric apparent-mass probe at the default pose: the implicit
+        # contact law needs the true step-response mass (servo impedance
+        # included) or it is many times too soft (15 mm standing
+        # penetration observed with the analytic bound alone)
+        self.engine.calibrate_contact_mass(
+            self.default_dof_pos,
+            lambda n: broadcast_nominal(self.model, n, jnp.float32))
 
         # fused chain-layout fast path (physics/chain_engine.py): Pallas
         # mega-kernel on TPU, plain-XLA twin on CPU
@@ -216,7 +225,13 @@ class LeggedEnv:
                     self.engine, decimation=cfg.control.decimation,
                     patch_S=self.contact_patch_S)
                 self.chain_engine.bind_grid(self.grid)
-            except Exception:
+            except Exception as e:  # noqa: BLE001 — loud, typed fallback
+                import logging
+                logging.getLogger("legged_gym_tpu").warning(
+                    "ChainEngine fast path unavailable for this robot "
+                    "(%s: %s); falling back to the general stacked "
+                    "engine (slower, same semantics).",
+                    type(e).__name__, e)
                 self.chain_engine = None
 
         # --- height scan (legged_robot.py:802-816) ---
@@ -240,6 +255,22 @@ class LeggedEnv:
         assert self.obs_dim == cfg.env.num_observations, \
             f"obs dim {self.obs_dim} != cfg {cfg.env.num_observations}"
         self.noise_vec = self._build_noise_vec()
+
+        # privileged observations for an asymmetric critic (the VecEnv
+        # privileged_obs contract, base_task.py:70-78,101-110; the
+        # reference allocates the buffer but ships no producer — here the
+        # layout is: noiseless obs + ground friction + base-mass scale +
+        # feet contact forces)
+        self.num_privileged_obs = None
+        if cfg.env.num_privileged_obs is not None:
+            expect = self.obs_dim + 2 + 3 * len(self.feet_idx)
+            if cfg.env.num_privileged_obs != expect:
+                raise ValueError(
+                    f"num_privileged_obs={cfg.env.num_privileged_obs} but "
+                    f"the privileged layout for this robot has {expect} "
+                    f"dims (obs {self.obs_dim} + friction 1 + base-mass 1 "
+                    f"+ 3x{len(self.feet_idx)} feet forces)")
+            self.num_privileged_obs = expect
 
         # --- rewards (reflection over nonzero scales,
         #     legged_robot.py:574-598; scales x dt) ---
@@ -459,9 +490,10 @@ class LeggedEnv:
             pos = pos.at[:2].add(dxy)
         quat = jnp.broadcast_to(
             jnp.asarray(ist.rot, self.dtype)[:, None], (4, n))
-        vel6 = jax.random.uniform(kv, (6, n), self.dtype, -0.5, 0.5)
-        base_vel = (jnp.asarray(ist.lin_vel + ist.ang_vel,
-                                self.dtype)[:, None] + vel6)
+        # reference _reset_root_states OVERWRITES root velocity with the
+        # U(-0.5, 0.5) draw (root_states[env_ids, 7:13] = rand); init_state
+        # velocities only matter for the very first spawn there.
+        base_vel = jax.random.uniform(kv, (6, n), self.dtype, -0.5, 0.5)
         return PhysicsState.from_world_vel(
             pos=pos, quat=quat, lin_vel_w=base_vel[:3],
             ang_vel_w=base_vel[3:], q=q,
@@ -671,6 +703,28 @@ class LeggedEnv:
                     sim_body, state.physics, None,
                     length=cfg.control.decimation)
                 actuator_state = state.actuator_state
+        elif ctrl == "V":
+            # velocity drive (legged_robot.py:385-388): tau =
+            # kp*(v_target - qd) - kd*(qd - last_qd)/sim_dt, re-evaluated
+            # each sim dt; last_qd is the qd buffer from the END of the
+            # previous policy step (refreshed only in post_physics_step,
+            # legged_robot.py:133), so it is held over the decimation loop.
+            vel_t = a * cfg.control.action_scale
+            kp = jnp.asarray(self.p_gains, self.dtype)[:, None]
+            kd = jnp.asarray(self.d_gains, self.dtype)[:, None]
+            qd_last = state.physics.qd
+
+            def sim_body(phys, _):
+                tau = (kp * (vel_t - phys.qd)
+                       - kd * (phys.qd - qd_last) / cfg.sim.dt)
+                phys, info = self.engine.step_torques(
+                    phys, state.link_params, state.friction, tau,
+                    patch=patch)
+                return phys, info
+
+            physics, infos = jax.lax.scan(sim_body, state.physics, None,
+                                          length=cfg.control.decimation)
+            actuator_state = state.actuator_state
         elif ctrl == "T":
             tau = a * cfg.control.action_scale
 
@@ -742,7 +796,11 @@ class LeggedEnv:
             v_b = quat_ops.rotate_inverse(physics.quat, lin_w)
             physics = dataclasses.replace(
                 physics, vel=physics.vel.at[3:6].set(v_b))
-            base_lin_vel = physics.base_lin_vel()
+            # NOTE: base_lin_vel deliberately NOT refreshed — in the
+            # reference the buffer is computed before _push_robots and
+            # rewards/obs of this step see the pre-push velocity
+            # (legged_robot.py:122-131,436-441); the push only enters the
+            # next step's dynamics.
 
         # ---- termination (:143-148) ----
         if len(self.term_idx):
@@ -887,11 +945,24 @@ class LeggedEnv:
                         for name, s in episode_sums.items()}
 
         # ---- observations (:214-231) ----
-        obs = self._compute_obs(physics, base_lin_vel, base_ang_vel,
-                                projected_gravity, commands, a, measured,
-                                k_noise)
+        obs, obs_clean = self._compute_obs(
+            physics, base_lin_vel, base_ang_vel, projected_gravity,
+            commands, a, measured, k_noise)
         clip_o = cfg.normalization.clip_observations
         obs = jnp.clip(obs, -clip_o, clip_o)
+        priv_obs = None
+        if self.num_privileged_obs is not None:
+            # noiseless obs + true ground friction + base-mass scale +
+            # feet contact forces (asymmetric-critic inputs the real
+            # robot cannot sense)
+            feet_f = (contact_f[:, jnp.asarray(self.feet_idx)]
+                      .reshape(3 * len(self.feet_idx), n))
+            priv_obs = jnp.concatenate([
+                jnp.clip(obs_clean, -clip_o, clip_o),
+                friction[None, :],
+                mass_scales[:1],
+                feet_f * 0.01,
+            ], axis=0).T                                  # (N, P)
 
         new_state = EnvState(
             physics=physics, rng=rng, episode_length=episode_length,
@@ -909,7 +980,8 @@ class LeggedEnv:
         # storing physics.qd matches both readings.
 
         tr = Transition(
-            obs=obs.T, reward=reward, done=done, time_out=time_out,
+            obs=obs.T, privileged_obs=priv_obs, reward=reward, done=done,
+            time_out=time_out,
             episode_sums=ep_out, episode_count=jnp.sum(donef),
             episode_length_sum=ep_len_sum.astype(self.dtype),
             terrain_level_mean=jnp.mean(terrain_level.astype(self.dtype)),
@@ -971,13 +1043,14 @@ class LeggedEnv:
             h = jnp.clip(physics.pos[2][None, :] - 0.5 - measured,
                          -1.0, 1.0) * s["height_measurements"]
             parts.append(h)
-        obs = jnp.concatenate(parts, axis=0)             # (obs_dim, N)
+        clean = jnp.concatenate(parts, axis=0)           # (obs_dim, N)
+        obs = clean
         if self.cfg.noise.add_noise:
             noise = (2.0 * jax.random.uniform(key, obs.shape, self.dtype)
                      - 1.0) * jnp.asarray(self.noise_vec,
                                           self.dtype)[:, None]
-            obs = obs + noise
-        return obs
+            obs = clean + noise
+        return obs, clean
 
     # ------------------------------------------------------- reward terms
     # formulas: legged_robot.py:857-966 (fork variant incl. energy,

@@ -43,9 +43,11 @@ def make_optimizer(alg):
     )
 
 
-def init_train_state(key, obs_dim, num_actions, policy_cfg, alg_cfg):
+def init_train_state(key, obs_dim, num_actions, policy_cfg, alg_cfg,
+                     critic_obs_dim=None):
     kp, kt = jax.random.split(key)
-    params = nets.init_actor_critic(kp, obs_dim, num_actions, policy_cfg)
+    params = nets.init_actor_critic(kp, obs_dim, num_actions, policy_cfg,
+                                    critic_obs_dim=critic_obs_dim)
     tx = make_optimizer(alg_cfg)
     return TrainState(params=params, opt_state=tx.init(params),
                       lr=jnp.asarray(alg_cfg.learning_rate),
@@ -59,16 +61,23 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
     tx = make_optimizer(alg_cfg)
     n_mb = alg_cfg.num_mini_batches
     n_ep = alg_cfg.num_learning_epochs
+    # asymmetric critic: when the env produces privileged observations,
+    # the carried obs is the pack (actor_obs, privileged_obs) and the
+    # critic consumes the privileged half (rsl_rl's critic_obs routing,
+    # on_policy_runner.py: obs vs privileged_obs)
+    asym = getattr(env, "num_privileged_obs", None) is not None
 
     def learn_iteration(ts: TrainState, env_state, obs):
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
 
         def policy_step(carry, _):
-            env_state, obs, key = carry
+            env_state, obs_pack, key = carry
+            obs = obs_pack[0] if asym else obs_pack
+            cobs = obs_pack[1] if asym else obs_pack
             key, k_act = jax.random.split(key)
             action, logp, mean, std = nets.sample_action(
                 k_act, ts.params, obs, act)
-            value = nets.critic_value(ts.params, obs, act)
+            value = nets.critic_value(ts.params, cobs, act)
             env_state, tr = env.step(env_state, action)
             data = dict(obs=obs, action=action, logp=logp, mean=mean,
                         std=std, value=value, reward=tr.reward,
@@ -77,13 +86,17 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
                         ep_len_sum=tr.episode_length_sum,
                         terrain_level=tr.terrain_level_mean,
                         max_command_x=tr.max_command_x)
-            return (env_state, tr.obs, key), data
+            if asym:
+                data["cobs"] = cobs
+            new_pack = ((tr.obs, tr.privileged_obs) if asym else tr.obs)
+            return (env_state, new_pack, key), data
 
         (env_state, obs, _), batch = jax.lax.scan(
             policy_step, (env_state, obs, k_roll), None, length=num_steps)
 
         # --- timeout bootstrap + GAE ---
-        last_value = nets.critic_value(ts.params, obs, act)
+        last_value = nets.critic_value(
+            ts.params, obs[1] if asym else obs, act)
         reward = batch["reward"] + (alg_cfg.gamma * batch["value"]
                                     * batch["time_out"])
         not_done = 1.0 - batch["done"].astype(reward.dtype)
@@ -116,6 +129,8 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             "returns": returns.reshape(tn),
             "adv": adv_norm.reshape(tn),
         }
+        if asym:
+            flat["cobs"] = batch["cobs"].reshape(tn, -1)
         mb_size = tn // n_mb
         perm = jax.random.permutation(k_perm, tn)[: mb_size * n_mb]
         mb_idx = perm.reshape(n_mb, mb_size)
@@ -125,7 +140,8 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             mean = nets.actor_mean(params, mb["obs"], act)
             std = jnp.broadcast_to(params["std"], mean.shape)
             logp = nets.gaussian_log_prob(mb["action"], mean, std)
-            value = nets.critic_value(params, mb["obs"], act)
+            value = nets.critic_value(
+                params, mb["cobs"] if asym else mb["obs"], act)
             entropy = nets.gaussian_entropy(std)
 
             ratio = jnp.exp(logp - mb["logp"])
@@ -176,6 +192,8 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             "surrogate_loss": s_losses.mean(),
             "value_loss": v_losses.mean(),
             "kl": kls.mean(),
+            "kl_max": kls.max(),
+            "noise_std": jnp.mean(params["std"]),
             "lr": lr,
             "mean_step_reward": batch["reward"].mean(),
             "episode_count": ep_count,

@@ -22,17 +22,22 @@ from legged_gym_tpu.rl.ppo import (TrainState, init_train_state,
 
 
 class PPORunner:
-    def __init__(self, env, train_cfg, log_dir=None, seed=None):
+    def __init__(self, env, train_cfg, log_dir=None, seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with an 'env' axis — env
+        state shards across it and the jitted learn step runs SPMD
+        (parallel/sharding.py); None = single chip."""
         self.env = env
         self.cfg = train_cfg
         self.log_dir = log_dir
+        self.mesh = mesh
         seed = train_cfg.seed if seed is None else seed
 
         key = jax.random.PRNGKey(seed)
         k_ts, self.reset_key = jax.random.split(key)
         self.train_state = init_train_state(
             k_ts, env.obs_dim, env.num_actions, train_cfg.policy,
-            train_cfg.algorithm)
+            train_cfg.algorithm,
+            critic_obs_dim=getattr(env, "num_privileged_obs", None))
         self.learn_fn = jax.jit(make_learn_fn(
             env, train_cfg.policy, train_cfg.algorithm,
             train_cfg.runner.num_steps_per_env))
@@ -40,15 +45,35 @@ class PPORunner:
         self.obs = None
         self.current_iteration = 0
         self._log_fh = None
+        self._tb = None
         if log_dir is not None:
             os.makedirs(log_dir, exist_ok=True)
             self._log_fh = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(log_dir=log_dir, flush_secs=10)
+            except ImportError:
+                pass  # JSONL remains the source of truth
 
     # ------------------------------------------------------------ learning
 
     def _ensure_env_state(self, init_at_random_ep_len=False):
         if self.env_state is None:
             self.env_state, self.obs = self.env.reset(self.reset_key)
+            if getattr(self.env, "num_privileged_obs", None) is not None:
+                # asymmetric critic: carry the (obs, privileged_obs) pack
+                self.env_state, tr = self.env.step(
+                    self.env_state,
+                    jnp.zeros((self.env.num_envs, self.env.num_actions)))
+                self.obs = (tr.obs, tr.privileged_obs)
+            if self.mesh is not None:
+                from legged_gym_tpu.parallel import (replicate,
+                                                     shard_batch,
+                                                     shard_env_state)
+                self.env_state = shard_env_state(
+                    self.env_state, self.mesh, self.env.num_envs)
+                self.obs = shard_batch(self.obs, self.mesh)
+                self.train_state = replicate(self.train_state, self.mesh)
             if init_at_random_ep_len:
                 # reference train.py:43 randomizes initial episode
                 # progress to decorrelate resets
@@ -73,11 +98,12 @@ class PPORunner:
             dt = time.time() - t0
             metrics["iteration"] = it
             metrics["steps_per_s"] = steps_per_iter / dt
+            self.current_iteration = it + 1
             self._log(metrics, it)
-            if (it + 1) % self.cfg.runner.save_interval == 0:
-                self.save(os.path.join(self.log_dir or ".",
+            if (self.log_dir is not None
+                    and (it + 1) % self.cfg.runner.save_interval == 0):
+                self.save(os.path.join(self.log_dir,
                                        f"model_{it + 1}.ckpt"))
-        self.current_iteration += num_iterations
         if self.log_dir is not None:
             self.save(os.path.join(self.log_dir,
                                    f"model_{self.current_iteration}.ckpt"))
@@ -86,6 +112,22 @@ class PPORunner:
         if self._log_fh is not None:
             self._log_fh.write(json.dumps(metrics) + "\n")
             self._log_fh.flush()
+        if self._tb is not None:
+            # rsl_rl's tag layout (on_policy_runner.py log()) so existing
+            # TensorBoard dashboards work unchanged
+            w = self._tb
+            for name, v in metrics.get("episode", {}).items():
+                w.add_scalar(f"Episode/rew_{name}", v, it)
+            w.add_scalar("Loss/value_function", metrics["value_loss"], it)
+            w.add_scalar("Loss/surrogate", metrics["surrogate_loss"], it)
+            w.add_scalar("Loss/learning_rate", metrics["lr"], it)
+            w.add_scalar("Policy/mean_noise_std",
+                         metrics.get("noise_std", 0.0), it)
+            w.add_scalar("Perf/total_fps", metrics["steps_per_s"], it)
+            w.add_scalar("Train/mean_reward",
+                         metrics["mean_step_reward"], it)
+            w.add_scalar("Train/mean_episode_length",
+                         metrics.get("mean_episode_length", 0.0), it)
         if it % 10 == 0:
             ep = metrics.get("episode", {})
             track = ep.get("tracking_lin_vel", 0.0)
@@ -155,6 +197,8 @@ class PPORunner:
             flat[f"w{i}"] = np.asarray(layer["w"])
             flat[f"b{i}"] = np.asarray(layer["b"])
         flat["activation"] = np.asarray(self.cfg.policy.activation)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         np.savez(path, **flat)
         return path

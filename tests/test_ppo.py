@@ -42,7 +42,8 @@ class PointEnv:
         new_pos = jnp.where(done, jax.random.normal(k, pos.shape), pos)
         new_t = jnp.where(done, 0, t)
         tr = Transition(
-            obs=self._obs(new_pos), reward=reward, done=done,
+            obs=self._obs(new_pos), privileged_obs=None,
+            reward=reward, done=done,
             time_out=time_out, episode_sums={},
             episode_count=jnp.sum(done.astype(jnp.float32)),
             episode_length_sum=jnp.sum(
