@@ -24,6 +24,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None):
+    """Join a multi-host run via ``jax.distributed.initialize`` — the
+    live replacement for the reference's dead ``--horovod`` flag
+    (helpers.py:162). With no arguments, coordination is taken from the
+    cluster environment (TPU pod metadata / JAX_COORDINATOR_ADDRESS);
+    on GPU-style clusters pass all three explicitly. After this,
+    ``env_mesh()`` with no args builds the GLOBAL mesh over every chip
+    of every host and the same sharded train step runs SPMD across
+    hosts (collectives ride ICI within a slice, DCN between slices).
+
+    Returns (process_index, process_count)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def env_mesh(n_devices=None, devices=None):
     """1-D mesh over the env axis."""
     if devices is None:

@@ -42,7 +42,8 @@ def make_env(name=None, args=None, cfg=None, seed=None):
     return env, cfg
 
 
-def make_runner(env, name=None, args=None, train_cfg=None, log_root="default"):
+def make_runner(env, name=None, args=None, train_cfg=None,
+                log_root="default", mesh=None):
     """Build (PPORunner, train_cfg) with the reference's run-dir layout
     logs/<experiment_name>/<date>_<run_name> (task_registry.py:106-160)."""
     from datetime import datetime
@@ -66,7 +67,13 @@ def make_runner(env, name=None, args=None, train_cfg=None, log_root="default"):
         log_dir = os.path.join(
             log_root, stamp + "_" + train_cfg.runner.run_name)
 
-    runner = PPORunner(env, train_cfg, log_dir=log_dir)
+    runner = PPORunner(env, train_cfg, log_dir=log_dir, mesh=mesh)
+    if log_dir is not None:
+        # snapshot the exact configs next to the checkpoints so any run
+        # is reproducible from its log dir (task_registry.py:148-155
+        # dumps env_cfg+train_cfg into the run dir there)
+        helpers.snapshot_configs(log_dir, getattr(env, "cfg", None),
+                                 train_cfg)
     if train_cfg.runner.resume:
         path = helpers.get_load_path(
             log_root, load_run=train_cfg.runner.load_run,

@@ -28,6 +28,36 @@ def set_seed(seed):
     return seed
 
 
+def snapshot_configs(log_dir, env_cfg, train_cfg):
+    """Dump the exact env/train configs into the run dir as JSON so a run
+    is reproducible from its logs (reference: task_registry.py:148-155
+    pickles env_cfg+train_cfg next to the checkpoints)."""
+    import dataclasses
+    import json
+
+    def to_jsonable(obj):
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            return {f.name: to_jsonable(getattr(obj, f.name))
+                    for f in dataclasses.fields(obj)}
+        if isinstance(obj, (list, tuple)):
+            return [to_jsonable(v) for v in obj]
+        if isinstance(obj, dict):
+            return {k: to_jsonable(v) for k, v in obj.items()}
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        if isinstance(obj, (np.floating, np.integer)):
+            return obj.item()
+        return obj
+
+    os.makedirs(log_dir, exist_ok=True)
+    snap = {}
+    if env_cfg is not None:
+        snap["env_cfg"] = to_jsonable(env_cfg)
+    snap["train_cfg"] = to_jsonable(train_cfg)
+    with open(os.path.join(log_dir, "config.json"), "w") as fh:
+        json.dump(snap, fh, indent=1, default=str)
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser("legged_gym_tpu")
     p.add_argument("--task", type=str, default="anymal_c_flat",
@@ -41,9 +71,22 @@ def get_args(argv=None):
     p.add_argument("--checkpoint", type=int, default=None,
                    help="checkpoint iteration; -1 = last")
     p.add_argument("--headless", action="store_true")
+    p.add_argument("--record", action="store_true",
+                   help="play.py: dump a rollout and render it to GIF + "
+                        "PNG strip (offline viewer)")
+    p.add_argument("--record_steps", type=int, default=None)
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max_iterations", type=int, default=None)
+    # multi-chip / multi-host (replaces the reference's dead --horovod)
+    p.add_argument("--shard", action="store_true",
+                   help="shard the env axis over all visible devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() then shard over "
+                        "the global mesh (implies --shard)")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
