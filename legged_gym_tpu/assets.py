@@ -1,7 +1,8 @@
 """Asset (URDF / actuator-net) path resolution.
 
-The framework ships no robot description files of its own; it consumes the
-standard legged_gym resource tree (``resources/robots/<name>/urdf/*.urdf``,
+The framework ships its own ``resources/`` tree at the repo root (URDF
+robot descriptions + actuator-net weights) and is self-contained; the
+layout is the standard legged_gym resource tree (``resources/robots/<name>/urdf/*.urdf``,
 ``resources/actuator_nets/*.pt``). Point ``LEGGED_GYM_TPU_ASSETS`` at a
 checkout's ``resources`` directory; config paths use the
 ``{ASSETS}`` placeholder (the analog of the reference's

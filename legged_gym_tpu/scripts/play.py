@@ -52,12 +52,30 @@ def play(args, num_steps=1000):
     stop_state_log = 100
     stop_rew_log = env.max_episode_length + 1
 
+    record = bool(getattr(args, "record", False))
+    rec_frames = []
+    rec_steps = int(getattr(args, "record_steps", None) or 250)
+
     step_fn = jax.jit(env.step)
     state, obs = env.reset(jax.random.PRNGKey(0))
     for i in range(num_steps):
         actions = policy(obs)
         state, tr = step_fn(state, actions)
         obs = tr.obs
+        if record and i < rec_steps:
+            rec_frames.append((np.asarray(state.physics.pos),
+                               np.asarray(state.physics.quat),
+                               np.asarray(state.physics.q)))
+        elif record and i == rec_steps:
+            from legged_gym_tpu.utils.render import render_trajectory
+            out = os.path.join(helpers.LOG_ROOT,
+                               train_cfg.runner.experiment_name,
+                               "exported", "rollout.gif")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            files = render_trajectory(env, rec_frames, out,
+                                      env_index=robot_index,
+                                      strip_every=10)
+            print("Recorded rollout:", ", ".join(files))
         if i < stop_state_log:
             q = np.asarray(state.physics.q)
             qd = np.asarray(state.physics.qd)
