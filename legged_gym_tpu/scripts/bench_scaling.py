@@ -57,8 +57,20 @@ def run(num_envs, devices_list=None, steps=20):
         rate = num_envs * steps / dt
         if base is None:
             base = rate / nd
-        results[nd] = {"env_steps_per_s": round(rate, 1),
-                       "efficiency": round(rate / (nd * base), 3)}
+        results[nd] = {"env_steps_per_s": round(rate, 1)}
+        # a VIRTUAL mesh (N devices on one host/core) cannot scale
+        # compute, so rate/(nd*base) would only measure serialization.
+        # There the honest sharding-health metric is overhead vs the
+        # unsharded run of the SAME total envs: speedup >= 1 means the
+        # partitioned program adds no collective/layout cost. On real
+        # multi-chip meshes report classic weak efficiency.
+        virtual = (jax.devices()[0].platform == "cpu"
+                   and jax.process_count() == 1)
+        if virtual:
+            results[nd]["sharding_speedup_vs_unsharded"] = round(
+                rate / (base * devices_list[0]), 3)
+        else:
+            results[nd]["efficiency"] = round(rate / (nd * base), 3)
         print(json.dumps({"devices": nd, **results[nd]}))
     return results
 
