@@ -67,6 +67,16 @@ def make_runner(env, name=None, args=None, train_cfg=None,
         log_dir = os.path.join(
             log_root, stamp + "_" + train_cfg.runner.run_name)
 
+    # resolve the resume checkpoint BEFORE the runner creates its new
+    # run dir — otherwise the fresh (model-less) dir is itself the
+    # "last run" and resolution fails (the reference defers log-dir
+    # creation until the first write, task_registry.py:106-160)
+    load_path = None
+    if train_cfg.runner.resume:
+        load_path = helpers.get_load_path(
+            log_root, load_run=train_cfg.runner.load_run,
+            checkpoint=train_cfg.runner.checkpoint)
+
     runner = PPORunner(env, train_cfg, log_dir=log_dir, mesh=mesh)
     if log_dir is not None:
         # snapshot the exact configs next to the checkpoints so any run
@@ -74,12 +84,9 @@ def make_runner(env, name=None, args=None, train_cfg=None,
         # dumps env_cfg+train_cfg into the run dir there)
         helpers.snapshot_configs(log_dir, getattr(env, "cfg", None),
                                  train_cfg)
-    if train_cfg.runner.resume:
-        path = helpers.get_load_path(
-            log_root, load_run=train_cfg.runner.load_run,
-            checkpoint=train_cfg.runner.checkpoint)
-        print(f"Loading model from: {path}")
-        runner.load(path)
+    if load_path is not None:
+        print(f"Loading model from: {load_path}")
+        runner.load(load_path)
     return runner, train_cfg
 
 

@@ -165,7 +165,12 @@ class PPORunner:
             "key": self.train_state.key,
             "iteration": 0,
         }
-        ckpt = ckptr.restore(os.path.abspath(path), item=tmpl)
+        # construct_restore_args pins each leaf's sharding to the
+        # template's (current backend) — without it, checkpoints saved
+        # on one backend (TPU) fail to restore on another (CPU host)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(tmpl)
+        ckpt = ckptr.restore(os.path.abspath(path), item=tmpl,
+                             restore_args=restore_args)
         ts = self.train_state
         self.train_state = TrainState(
             params=ckpt["params"],

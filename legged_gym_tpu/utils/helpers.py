@@ -120,6 +120,11 @@ def get_load_path(root, load_run=-1, checkpoint=-1):
         runs = sorted(os.listdir(root))
         if "exported" in runs:
             runs.remove("exported")
+        # ignore run dirs that contain no checkpoints (e.g. the dir a
+        # concurrent/aborted run just created)
+        runs = [r for r in runs
+                if any("model" in f
+                       for f in os.listdir(os.path.join(root, r)))]
         last_run = os.path.join(root, runs[-1])
     except (IndexError, FileNotFoundError):
         raise ValueError(f"No runs in this directory: {root}")

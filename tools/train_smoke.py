@@ -40,7 +40,8 @@ t0 = time.time()
 for it in range(args.iters):
     runner.train_state, runner.env_state, runner.obs, m = runner.learn_fn(
         runner.train_state, runner.env_state, runner.obs)
-    m = jax.tree.map(lambda x: float(np.asarray(x)), m)
+    m = jax.tree.map(lambda x: (np.asarray(x).tolist() if np.asarray(x).size > 1
+                                else float(np.asarray(x))), m)
     hist.append(m)
     if it % 10 == 0 or it == args.iters - 1:
         print(f"it {it:4d} rew/step {m['mean_step_reward']:.5f} "
