@@ -193,7 +193,6 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             "value_loss": v_losses.mean(),
             "kl": kls.mean(),
             "kl_max": kls.max(),
-            "kl_profile": kls,          # (n_ep*n_mb,) per-update KL
             "noise_std": jnp.mean(params["std"]),
             "lr": lr,
             "mean_step_reward": batch["reward"].mean(),
