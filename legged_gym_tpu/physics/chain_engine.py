@@ -41,7 +41,7 @@ class ChainEngine:
         if not sim.contact.implicit:
             raise NotChainStructured("explicit contact not supported")
         cm = build_chain_model(model, engine.cp_m_eff,
-                               engine.cp_m_eff_t)
+                               engine.cp_m_eff_t, engine.cp_vmax)
         self.engine = engine
         self.model = model
         self.cm = cm

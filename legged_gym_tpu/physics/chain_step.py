@@ -130,6 +130,7 @@ def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
         cv[f"grad{gi}"] = t(g.radius)                    # (S,K,1*)
         cv[f"gme{gi}"] = t(g.m_eff)
         cv[f"gmet{gi}"] = t(g.m_eff_t)
+        cv[f"gvp{gi}"] = t(g.vmax)
         cv[f"gact{gi}"] = t(g.active.astype(np.float64))
     return {k: np.asarray(v, dtype) for k, v in cv.items()}
 
@@ -322,7 +323,7 @@ def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
     depth = r + (h - z) * nz
     vx, vy, vz = vel[0], vel[1], vel[2]
     v_n = vx * nx + vy * ny + vz * nz
-    v_push = jnp.minimum(cc.baumgarte * depth / dt_in, cc.max_pushout_vel)
+    v_push = jnp.minimum(cc.baumgarte * depth / dt_in, cv[f"gvp{gi}"])
     fn_mag = jnp.where(depth > 0.0,
                        (me / dt_in) * jnp.maximum(v_push - v_n, 0.0),
                        0.0) * act

@@ -38,6 +38,7 @@ class PointGroup:
     radius: np.ndarray         # (S, K)
     m_eff: np.ndarray          # (S, K) apparent mass (engine-provided)
     m_eff_t: np.ndarray        # (S, K) tangential (friction-cap) mass
+    vmax: np.ndarray           # (S, K) per-point pushout-velocity cap
     active: np.ndarray         # (S, K) bool
     cp_index: np.ndarray       # (S, K) original index into model.cp_* (-1
     #                            for inactive slots)
@@ -71,7 +72,7 @@ class ChainModel:
     n_bodies: int              # report bodies (contact-sensor rows)
 
 
-def build_chain_model(model, m_eff, m_eff_t=None) -> ChainModel:
+def build_chain_model(model, m_eff, m_eff_t=None, vmax=None) -> ChainModel:
     """Decompose `model` (RobotModel) into base + serial chains.
 
     m_eff: (P,) apparent contact masses (computed by the Engine; stored
@@ -135,6 +136,8 @@ def build_chain_model(model, m_eff, m_eff_t=None) -> ChainModel:
     P = len(model.cp_link)
     if m_eff_t is None:
         m_eff_t = m_eff
+    if vmax is None:
+        vmax = np.full(P, 0.5)
     groups = []
     # base group
     base_sel = np.nonzero(model.cp_link == 0)[0]
@@ -146,6 +149,7 @@ def build_chain_model(model, m_eff, m_eff_t=None) -> ChainModel:
             radius=model.cp_radius[base_sel][:, None].copy(),
             m_eff=np.asarray(m_eff)[base_sel][:, None].copy(),
             m_eff_t=np.asarray(m_eff_t)[base_sel][:, None].copy(),
+            vmax=np.asarray(vmax)[base_sel][:, None].copy(),
             active=np.ones((S, 1), bool),
             cp_index=base_sel[:, None].astype(np.int32),
             body=model.cp_body[base_sel][:, None].astype(np.int32)))
@@ -160,6 +164,7 @@ def build_chain_model(model, m_eff, m_eff_t=None) -> ChainModel:
         radius = np.zeros((S, K))
         me = np.ones((S, K))
         met = np.ones((S, K))
+        vmx = np.full((S, K), 0.5)
         act = np.zeros((S, K), bool)
         cpi = np.full((S, K), -1, np.int32)
         bod = np.zeros((S, K), np.int32)
@@ -169,12 +174,13 @@ def build_chain_model(model, m_eff, m_eff_t=None) -> ChainModel:
             radius[:n, k] = model.cp_radius[pc]
             me[:n, k] = np.asarray(m_eff)[pc]
             met[:n, k] = np.asarray(m_eff_t)[pc]
+            vmx[:n, k] = np.asarray(vmax)[pc]
             act[:n, k] = True
             cpi[:n, k] = pc
             bod[:n, k] = model.cp_body[pc]
         groups.append(PointGroup(level=l, offs=offs, radius=radius,
-                                 m_eff=me, m_eff_t=met, active=act,
-                                 cp_index=cpi, body=bod))
+                                 m_eff=me, m_eff_t=met, vmax=vmx,
+                                 active=act, cp_index=cpi, body=bod))
 
     return ChainModel(
         K=K, L=L, J=J, LI=LI, active=active,

@@ -52,7 +52,8 @@ class ContactConfig:
 
 
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
-                   dt=None, m_eff=None, m_eff_t=None, patch=None):
+                   dt=None, m_eff=None, m_eff_t=None, v_max=None,
+                   patch=None):
     """Compute per-point world contact forces (stacked layout).
 
     Args:
@@ -88,8 +89,12 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
     v_n = vx * nx + vy * ny + vz * nz
     if cfg.implicit:
         me = jnp.asarray(m_eff, cp_pos.dtype)[:, None]          # (P, 1)
-        v_push = jnp.minimum(cfg.baumgarte * depth / dt,
-                             cfg.max_pushout_vel)
+        # per-point cap (Engine.cp_vmax): static support force is
+        # bounded by m_eff*vmax/dt, so the cap is raised per point to
+        # carry its weight share (see calibrate_contact_mass)
+        vmax = (cfg.max_pushout_vel if v_max is None
+                else jnp.asarray(v_max, cp_pos.dtype)[:, None])
+        v_push = jnp.minimum(cfg.baumgarte * depth / dt, vmax)
         fn_raw = (me / dt) * jnp.maximum(v_push - v_n, 0.0)
     else:
         fn_raw = jnp.maximum(

@@ -135,6 +135,11 @@ class Engine:
         # normal-direction servo-stiffened inertia, and using the normal
         # mass for the friction cap over-corrects slip into chatter
         self.cp_m_eff_t = self.cp_m_eff.copy()
+        # per-point pushout-velocity cap (refined by calibrate_contact_mass:
+        # the static contact force is bounded by m_eff*vmax/dt, so a scalar
+        # cap must be raised for points whose weight share exceeds it)
+        self.cp_vmax = np.full(len(self.cp_m_eff),
+                               sim.contact.max_pushout_vel)
         # implicit joint-space diagonal: URDF damping + PD kd + dt*kp,
         # plus the armature floor (rotor-inertia regularization)
         self._imp_pd = (self.dt_inner
@@ -217,6 +222,18 @@ class Engine:
         self.cp_m_eff_t = np.maximum(
             np.minimum(self.cp_m_eff_t, self.cp_m_eff),
             safety * np.minimum(m_num[0], m_num[1]))
+        # The capped pushout bounds each point's STATIC contact force at
+        # m_eff*vmax/dt. For heavy robots (ANYmal: ~127 N weight share
+        # per foot vs a ~100 N bound at vmax=0.5) the floor then cannot
+        # hold the robot: it sinks until shank/thigh points carry the
+        # load (measured 140 mm foot penetration, constant collision
+        # penalty, zero reward). Raise each point's cap so it alone can
+        # statically support 75% of body weight; force stays bounded by
+        # 0.75*W regardless of m_eff, so spawn pops remain tame.
+        W = self.model.total_mass * 9.81
+        self.cp_vmax = np.maximum(
+            self.sim.contact.max_pushout_vel,
+            0.75 * W * self.dt_inner / np.maximum(self.cp_m_eff, 1e-9))
 
     # ---- one inner substep ----
     def _substep(self, state, inertia_params, friction, tau_fn, implicit_d,
@@ -227,7 +244,8 @@ class Engine:
             f_pts = contact_forces(self.model, self.grid, self.sim.contact,
                                    cp_pos, cp_vel, friction,
                                    dt=self.dt_inner, m_eff=self.cp_m_eff,
-                                   m_eff_t=self.cp_m_eff_t, patch=patch)
+                                   m_eff_t=self.cp_m_eff_t,
+                                   v_max=self.cp_vmax, patch=patch)
             link_f, link_n = accumulate_link_wrenches(self.model, fk,
                                                       cp_pos, f_pts)
             body_forces = accumulate_body_forces(self.model, f_pts)

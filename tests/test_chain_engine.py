@@ -61,25 +61,36 @@ def test_chain_matches_general_engine(mesh):
     phys, lp, fric = state.physics, state.link_params, state.friction
     targets = jnp.asarray(env.default_dof_pos)[:, None] * jnp.ones((1, 8))
 
+    # SETTLED single step: spawn drops are impulsive (forces/qd differ
+    # chaotically between numerically equivalent engines), so settle 30
+    # steps with the reference engine first, then compare ONE step from
+    # the shared quasi-static state tightly.
+    p_set, _ = jax.jit(
+        lambda p: _ref_rollout(env, cfg, p, lp, fric, targets, 30))(phys)
+    p_ref1, info1 = jax.jit(
+        lambda p: _ref_rollout(env, cfg, p, lp, fric, targets, 1))(p_set)
+    p_new1, (tau1, body_f1) = jax.jit(
+        lambda p: _chain_rollout(ce, p, lp, fric, targets, 1))(p_set)
+    np.testing.assert_allclose(np.asarray(p_ref1.q), np.asarray(p_new1.q),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_ref1.qd), np.asarray(p_new1.qd),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(info1.body_forces[-1]),
+                               np.asarray(body_f1[-1]), atol=2e-2,
+                               rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(info1.torques[-1]),
+                               np.asarray(tau1[-1]), atol=5e-3, rtol=5e-3)
+
+    # LONG horizon: configuration-level equivalence only (qd/sensors are
+    # impulsive during contact events and may differ by a step).
     p_ref, info = jax.jit(
         lambda p: _ref_rollout(env, cfg, p, lp, fric, targets, 20))(phys)
     p_new, (tau, body_f) = jax.jit(
         lambda p: _chain_rollout(ce, p, lp, fric, targets, 20))(phys)
-
-    # tolerances track 20-step trajectory divergence from f32
-    # accumulation-order differences, amplified by the calibrated
-    # (stiffer) contact law: ~2e-3 rad over 20 policy steps
     np.testing.assert_allclose(np.asarray(p_ref.pos), np.asarray(p_new.pos),
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(p_ref.q), np.asarray(p_new.q),
                                atol=5e-3)
-    np.testing.assert_allclose(np.asarray(p_ref.qd), np.asarray(p_new.qd),
-                               atol=5e-2)
-    # last-step sensors (info is stacked over the scan)
-    np.testing.assert_allclose(np.asarray(info.body_forces[-1]),
-                               np.asarray(body_f[-1]), atol=1.5e-1, rtol=5e-3)
-    np.testing.assert_allclose(np.asarray(info.torques[-1]),
-                               np.asarray(tau[-1]), atol=1e-1, rtol=5e-3)
     # the default fast cadence (plane held for one policy step) must stay
     # physically close to the exact one
     fast = env.chain_engine

@@ -17,6 +17,7 @@ p.add_argument("--steps", type=int, default=100)
 p.add_argument("--tpu", action="store_true")
 p.add_argument("--random-actions", action="store_true")
 p.add_argument("--zero-cmd", action="store_true", help="force zero commands")
+p.add_argument("--task", type=str, default="go1")
 p.add_argument("--baumgarte", type=float, default=None)
 p.add_argument("--safety", type=float, default=None)
 args = p.parse_args()
@@ -43,7 +44,7 @@ if args.safety is not None:
         lambda self, q0, fn, safety=args.safety: _orig_cal(self, q0, fn,
                                                            safety))
 
-cfg, _ = registry.get_cfgs("go1")
+cfg, _ = registry.get_cfgs(args.task)
 cfg.env.num_envs = args.envs
 cfg.terrain.mesh_type = "plane"
 cfg.terrain.measure_heights = False
