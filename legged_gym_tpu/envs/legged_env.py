@@ -494,10 +494,44 @@ class LeggedEnv:
         # U(-0.5, 0.5) draw (root_states[env_ids, 7:13] = rand); init_state
         # velocities only matter for the very first spawn there.
         base_vel = jax.random.uniform(kv, (6, n), self.dtype, -0.5, 0.5)
+        pos = self._depenetrate_spawn(pos, quat, q)
         return PhysicsState.from_world_vel(
             pos=pos, quat=quat, lin_vel_w=base_vel[:3],
             ang_vel_w=base_vel[3:], q=q,
             qd=jnp.zeros((self.num_dof, n), self.dtype))
+
+    def _depenetrate_spawn(self, pos, quat, q):
+        """Lift the drawn base so no collision point starts underground.
+
+        Configs inherit spawn heights tuned for PhysX's overlap
+        resolution (e.g. aliengo: init z=0.32 puts the default-pose FEET
+        160 mm underground; legged_robot_config.py pos + PhysX
+        depenetration). PhysX resolves initial overlap with bounded
+        position correction; a velocity-level pushout instead converts
+        it into a violent launch that flings legs (observed: aliengo
+        thigh driven to q=3.2 rad against the 44 Nm torque limit every
+        reset). One FK on the drawn pose computes the exact lift; ground
+        height is sampled at the base xy (exact on plane/flat cells,
+        conservative near steps since origins use the cell-center max,
+        terrain.py:158-164)."""
+        if self.cfg.asset.fix_base_link or len(self.model.cp_link) == 0:
+            return pos
+        from legged_gym_tpu.physics.kinematics import (
+            contact_point_kinematics, forward_kinematics)
+        from legged_gym_tpu.terrain.heightfield import sample_bilinear
+
+        n = pos.shape[-1]
+        probe = PhysicsState(pos=pos, quat=quat,
+                             vel=jnp.zeros((6, n), self.dtype), q=q,
+                             qd=jnp.zeros((self.num_dof, n), self.dtype))
+        cp_pos, _ = contact_point_kinematics(
+            self.model, forward_kinematics(self.model, probe))
+        ground, _, _ = sample_bilinear(self.grid, pos[0], pos[1])
+        clearance = jnp.min(
+            cp_pos[2] - jnp.asarray(self.model.cp_radius,
+                                    self.dtype)[:, None], axis=0) - ground
+        lift = jnp.maximum(0.005 - clearance, 0.0)
+        return pos.at[2].add(lift)
 
     def _resample_commands(self, key, commands, mask):
         """New commands where mask (reference _resample_commands:353-368)."""

@@ -227,13 +227,16 @@ class Engine:
         # per foot vs a ~100 N bound at vmax=0.5) the floor then cannot
         # hold the robot: it sinks until shank/thigh points carry the
         # load (measured 140 mm foot penetration, constant collision
-        # penalty, zero reward). Raise each point's cap so it alone can
-        # statically support 75% of body weight; force stays bounded by
-        # 0.75*W regardless of m_eff, so spawn pops remain tame.
+        # penalty, zero reward). Raise each point's cap so it can carry
+        # 1.2x a four-foot weight share (0.3*W). Sizing matters both
+        # ways: a cap much larger than the static need turns landings
+        # into a sustained bounce cycle (landing penetration -> pushout
+        # relaunch at ~vmax -> ballistic hop; observed on Aliengo with a
+        # 0.75*W cap), so keep it as low as static support allows.
         W = self.model.total_mass * 9.81
         self.cp_vmax = np.maximum(
             self.sim.contact.max_pushout_vel,
-            0.75 * W * self.dt_inner / np.maximum(self.cp_m_eff, 1e-9))
+            0.3 * W * self.dt_inner / np.maximum(self.cp_m_eff, 1e-9))
 
     # ---- one inner substep ----
     def _substep(self, state, inertia_params, friction, tau_fn, implicit_d,

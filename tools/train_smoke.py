@@ -8,6 +8,7 @@ p.add_argument("--envs", type=int, default=256)
 p.add_argument("--iters", type=int, default=150)
 p.add_argument("--tpu", action="store_true")
 p.add_argument("--seed", type=int, default=1)
+p.add_argument("--task", type=str, default="go1")
 p.add_argument("--lr", type=float, default=None)
 p.add_argument("--schedule", type=str, default=None)
 args = p.parse_args()
@@ -22,7 +23,7 @@ from legged_gym_tpu import registry
 from legged_gym_tpu.utils import helpers
 
 helpers.set_seed(args.seed)
-cfg, train_cfg = registry.get_cfgs("go1")
+cfg, train_cfg = registry.get_cfgs(args.task)
 cfg.env.num_envs = args.envs
 if args.lr is not None:
     train_cfg.algorithm.learning_rate = args.lr
