@@ -207,6 +207,10 @@ class SimCfg:
     # control path needs per-sim-dt torques (SEA / UniNet). Disable for
     # differentiable-physics use (gradient MPC) — the kernel has no VJP.
     use_chain_engine: bool = True
+    # warm-started static friction (contact.ContactConfig.warm_start):
+    # general-engine P path only; carries per-point tangential forces
+    # across substeps so loaded stances stick instead of creeping
+    contact_warm_start: bool = False
 
 
 @dataclass

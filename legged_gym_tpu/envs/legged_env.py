@@ -76,6 +76,9 @@ class EnvState:
     lin_vel_x_range: jnp.ndarray     # (2,) command-curriculum state
     episode_sums: dict               # name -> (N,)
     actuator_state: dict             # actuator-net recurrent state (or {})
+    # warm-started contact forces (3, P, N) when
+    # cfg.sim.contact_warm_start, else None (see contact.ContactConfig)
+    contact_ws: object = None
 
     @property
     def n(self):
@@ -198,11 +201,17 @@ class LeggedEnv:
         self._init_origins(seed)
 
         # --- engine ---
+        self._warm_start = bool(getattr(cfg.sim, "contact_warm_start",
+                                        False))
+        if self._warm_start and cfg.control.control_type != "P":
+            raise NotImplementedError(
+                "contact_warm_start is wired for the P drive path only")
         simcfg = SimConfig(
             dt=cfg.sim.dt, substeps=cfg.sim.substeps,
             gravity=tuple(cfg.sim.gravity),
             contact=dataclasses.replace(
                 self._default_contact(),
+                warm_start=self._warm_start,
                 terrain_friction=cfg.terrain.static_friction))
         self.engine = Engine(self.model, simcfg, grid=self.grid,
                              kp=self.p_gains, kd=self.d_gains,
@@ -218,7 +227,7 @@ class LeggedEnv:
         # fused chain-layout fast path (physics/chain_engine.py): Pallas
         # mega-kernel on TPU, plain-XLA twin on CPU
         self.chain_engine = None
-        if getattr(cfg.sim, "use_chain_engine", True):
+        if getattr(cfg.sim, "use_chain_engine", True) and not self._warm_start:
             try:
                 from legged_gym_tpu.physics.chain_engine import ChainEngine
                 self.chain_engine = ChainEngine(
@@ -611,6 +620,9 @@ class LeggedEnv:
             episode_sums={name: jnp.zeros(n, self.dtype)
                           for name in self.reward_scales},
             actuator_state=self._init_actuator_state(n),
+            contact_ws=(jnp.zeros((3, len(self.model.cp_link), n),
+                                  self.dtype)
+                        if self._warm_start else None),
         )
 
     def reset(self, key):
@@ -725,6 +737,18 @@ class LeggedEnv:
                         targets, use_pallas=use_pallas,
                         contact_patch=contact_patch)
                 infos = None
+                actuator_state = state.actuator_state
+            elif self._warm_start:
+                def sim_body(carry, _):
+                    phys, ws = carry
+                    phys, info, ws = self.engine.step_pos_targets(
+                        phys, state.link_params, state.friction, targets,
+                        patch=patch, f_ws=ws)
+                    return (phys, ws), info
+
+                (physics, contact_ws), infos = jax.lax.scan(
+                    sim_body, (state.physics, state.contact_ws), None,
+                    length=cfg.control.decimation)
                 actuator_state = state.actuator_state
             else:
                 def sim_body(phys, _):
@@ -998,6 +1022,11 @@ class LeggedEnv:
                 feet_f * 0.01,
             ], axis=0).T                                  # (N, P)
 
+        if self._warm_start:
+            # fresh spawns start with no remembered stick forces
+            contact_ws = jnp.where(done[None, None, :], 0.0, contact_ws)
+        else:
+            contact_ws = None
         new_state = EnvState(
             physics=physics, rng=rng, episode_length=episode_length,
             common_step=common_step, commands=commands, actions=a,
@@ -1007,7 +1036,7 @@ class LeggedEnv:
             env_origin=env_origin, friction=friction,
             mass_scales=mass_scales, link_params=link_params,
             lin_vel_x_range=lin_vel_x_range, episode_sums=episode_sums,
-            actuator_state=actuator_state)
+            actuator_state=actuator_state, contact_ws=contact_ws)
         # note: last_dof_vel buffer zeroing for reset envs is the
         # reference's dead store (see module docstring) — post-reset qd is
         # zero-mean U(-0.5,0.5)... actually qd is exactly 0 after reset, so

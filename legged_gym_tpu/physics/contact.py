@@ -49,11 +49,18 @@ class ContactConfig:
     max_pushout_vel: float = 0.5   # [m/s] cap on the Baumgarte pushout
     # velocity so deep spawn penetrations are resolved over a few steps
     # instead of launching the robot
+    # EXPERIMENTAL anchored static friction (see contact_forces): carry
+    # per-point tangential anchors so a loaded stance sticks instead of
+    # creeping at ~F*dt/m_t. Off by default: it holds moderate stances
+    # but does not yet stabilize near-singular leg geometries (aliengo),
+    # and the chain/Pallas path does not support the carry.
+    warm_start: bool = False
+    anchor_stiffness: float = 2000.0   # N/m tangential stick spring
 
 
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
                    dt=None, m_eff=None, m_eff_t=None, v_max=None,
-                   patch=None):
+                   f_prev=None, patch=None):
     """Compute per-point world contact forces (stacked layout).
 
     Args:
@@ -121,6 +128,49 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
     fx = fn_mag * nx - ft_over_vt * vtx
     fy = fn_mag * ny - ft_over_vt * vty
     fz = fn_mag * nz - ft_over_vt * vtz
+
+    if cfg.warm_start and f_prev is not None:
+        # ANCHORED static friction. The capped viscous law above is the
+        # per-point implicit slip stop: it removes THIS substep's slip
+        # but cannot cancel a persistent driving force, so a loaded
+        # stance creeps at vt ~= F*dt/m_t (aliengo: ~0.2 m/s lateral —
+        # the stance splays and collapses); a pure force-bias warm start
+        # ratchets (force memory has no restoring term). Instead carry a
+        # tangential ANCHOR per point (f_prev is (3, P, N) anchor
+        # positions): while stuck, a spring-damper to the anchor holds
+        # the point; when the spring force leaves the Coulomb cone the
+        # force is clipped and the anchor is dragged to stay consistent
+        # (classic penalty stick). Airborne points snap their anchor to
+        # the current position, as do stale anchors (> 10 cm away:
+        # resets/teleports zero the carry).
+        anchor = jnp.asarray(f_prev, cp_pos.dtype)
+        dxa = cp_pos[0] - anchor[0]
+        dya = cp_pos[1] - anchor[1]
+        dza = cp_pos[2] - anchor[2]
+        in_contact = fn_mag > 0.0
+        stale = (dxa * dxa + dya * dya + dza * dza) > 0.01
+        fresh = (~in_contact) | stale
+        dxa = jnp.where(fresh, 0.0, dxa)
+        dya = jnp.where(fresh, 0.0, dya)
+        dza = jnp.where(fresh, 0.0, dza)
+        # tangential projection of the anchor offset
+        dn = dxa * nx + dya * ny + dza * nz
+        dxa, dya, dza = dxa - dn * nx, dya - dn * ny, dza - dn * nz
+        k_t = cfg.anchor_stiffness
+        ftx = -k_t * dxa - ft_over_vt * vtx
+        fty = -k_t * dya - ft_over_vt * vty
+        ftz = -k_t * dza - ft_over_vt * vtz
+        ft_mag = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz) + 1e-9
+        scale = jnp.minimum(1.0, mu * fn_mag / ft_mag)
+        fx = fn_mag * nx + ftx * scale
+        fy = fn_mag * ny + fty * scale
+        fz = fn_mag * nz + ftz * scale
+        # new anchor: sliding (scale < 1) drags it so the spring force
+        # equals the clipped force; sticking keeps it
+        ax = jnp.where(fresh[None], cp_pos,
+                       cp_pos - jnp.stack([dxa, dya, dza]) * scale[None])
+        return jnp.stack([fx, fy, fz]), ax
+
     return jnp.stack([fx, fy, fz])                       # (3, P, N)
 
 

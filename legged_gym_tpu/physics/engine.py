@@ -240,15 +240,19 @@ class Engine:
 
     # ---- one inner substep ----
     def _substep(self, state, inertia_params, friction, tau_fn, implicit_d,
-                 patch=None):
+                 patch=None, f_ws=None):
         fk = forward_kinematics(self.model, state)
+        f_pts = ws_out = None
         if len(self.model.cp_link):
             cp_pos, cp_vel = contact_point_kinematics(self.model, fk)
-            f_pts = contact_forces(self.model, self.grid, self.sim.contact,
-                                   cp_pos, cp_vel, friction,
-                                   dt=self.dt_inner, m_eff=self.cp_m_eff,
-                                   m_eff_t=self.cp_m_eff_t,
-                                   v_max=self.cp_vmax, patch=patch)
+            out = contact_forces(self.model, self.grid, self.sim.contact,
+                                  cp_pos, cp_vel, friction,
+                                  dt=self.dt_inner, m_eff=self.cp_m_eff,
+                                  m_eff_t=self.cp_m_eff_t,
+                                  v_max=self.cp_vmax, f_prev=f_ws,
+                                  patch=patch)
+            # anchored-friction mode returns (forces, new anchors)
+            f_pts, ws_out = out if isinstance(out, tuple) else (out, None)
             link_f, link_n = accumulate_link_wrenches(self.model, fk,
                                                       cp_pos, f_pts)
             body_forces = accumulate_body_forces(self.model, f_pts)
@@ -287,25 +291,34 @@ class Engine:
         new_state = integrate(state, a0, qdd, self.dt_inner, qd_cap=vcap,
                               base_ang_cap=self.sim.max_base_ang_vel,
                               base_lin_cap=self.sim.max_base_lin_vel)
-        return new_state, SimInfo(body_forces=body_forces, torques=tau)
+        return new_state, SimInfo(body_forces=body_forces, torques=tau), \
+            ws_out
 
     def _run_substeps(self, state, inertia_params, friction, tau_fn,
-                      implicit_d, patch=None):
+                      implicit_d, patch=None, f_ws=None):
+        track_ws = f_ws is not None
+
         def body(carry, _):
-            s, _info = carry
-            return self._substep(s, inertia_params, friction, tau_fn,
-                                 implicit_d, patch=patch), None
+            s, _info, ws = carry
+            s2, info2, f_pts = self._substep(s, inertia_params, friction,
+                                             tau_fn, implicit_d,
+                                             patch=patch,
+                                             f_ws=ws if track_ws else None)
+            ws2 = f_pts if track_ws else ws
+            return (s2, info2, ws2), None
 
         nb, nq, n = self.model.num_bodies, self.model.nq, state.n
         info0 = SimInfo(body_forces=jnp.zeros((3, nb, n), state.pos.dtype),
                         torques=jnp.zeros((nq, n), state.pos.dtype))
-        (state, info), _ = jax.lax.scan(body, (state, info0), None,
-                                        length=self.sim.substeps)
+        (state, info, f_ws), _ = jax.lax.scan(
+            body, (state, info0, f_ws), None, length=self.sim.substeps)
+        if track_ws:
+            return state, info, f_ws
         return state, info
 
     # ---- public drive modes (one sim dt each) ----
     def step_pos_targets(self, state, inertia_params, friction, targets,
-                         patch=None):
+                         patch=None, f_ws=None):
         """Position-drive sim step (reference legged_robot.py:93-96).
 
         targets: (nq, N), already scaled/offset/clipped by the env
@@ -322,10 +335,10 @@ class Engine:
 
         return self._run_substeps(state, inertia_params, friction, tau_fn,
                                   jnp.asarray(self._imp_pd, state.pos.dtype),
-                                  patch=patch)
+                                  patch=patch, f_ws=f_ws)
 
     def step_torques(self, state, inertia_params, friction, tau,
-                     patch=None):
+                     patch=None, f_ws=None):
         """Torque-drive sim step: tau (nq, N) held over the sim dt, clipped
         to the URDF effort limits (reference _compute_torques:392)."""
         lim = jnp.asarray(self.torque_limit, state.pos.dtype)[:, None]
@@ -337,4 +350,4 @@ class Engine:
         return self._run_substeps(state, inertia_params, friction, tau_fn,
                                   jnp.asarray(self._imp_passive,
                                               state.pos.dtype),
-                                  patch=patch)
+                                  patch=patch, f_ws=f_ws)
