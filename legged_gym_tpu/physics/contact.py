@@ -75,7 +75,8 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
       m_eff: (P,) effective mass per point (owning-link nominal mass).
 
     Returns:
-      f_pts (3, P, N) world forces per collision point.
+      f_pts (3, P, N) world forces per collision point; with
+      cfg.warm_start and f_prev given, returns (f_pts, new_anchors).
     """
     x, y, z = cp_pos[0], cp_pos[1], cp_pos[2]            # (P, N)
     if patch is not None and grid is not None:

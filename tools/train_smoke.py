@@ -11,6 +11,8 @@ p.add_argument("--seed", type=int, default=1)
 p.add_argument("--task", type=str, default="go1")
 p.add_argument("--lr", type=float, default=None)
 p.add_argument("--schedule", type=str, default=None)
+p.add_argument("--entropy", type=float, default=None)
+p.add_argument("--rough", action="store_true")
 args = p.parse_args()
 
 import jax
@@ -29,6 +31,15 @@ if args.lr is not None:
     train_cfg.algorithm.learning_rate = args.lr
 if args.schedule is not None:
     train_cfg.algorithm.schedule = args.schedule
+if args.entropy is not None:
+    train_cfg.algorithm.entropy_coef = args.entropy
+if args.rough:
+    cfg.env.num_observations = 235
+    cfg.terrain.mesh_type = "heightfield"
+    cfg.terrain.measure_heights = True
+    cfg.terrain.curriculum = True
+    cfg.terrain.num_rows = 4
+    cfg.terrain.num_cols = 4
 env, _ = registry.make_env(cfg=cfg)
 from legged_gym_tpu.rl.runner import PPORunner
 train_cfg.runner.save_interval = 10**9
