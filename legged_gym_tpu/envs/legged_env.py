@@ -309,6 +309,11 @@ class LeggedEnv:
             else:
                 from legged_gym_tpu.actuators.uninet import UniNet
                 self._uninet = UniNet(net_file)
+        if self._warm_start and (self._sea is not None
+                                 or self._uninet is not None):
+            raise NotImplementedError(
+                "contact_warm_start is wired for the plain-PD P path "
+                "only (actuator-net branches do not carry the anchors)")
 
         self.dtype = jnp.float32
 
