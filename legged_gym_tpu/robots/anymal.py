@@ -20,6 +20,10 @@ def anymal_c_rough():
     cfg.control.use_actuator_network = True
     cfg.control.actuator_net_file = \
         "{ASSETS}/actuator_nets/anydrive_v3_lstm.pt"
+    # ANYmal's SEA torques are APPLIED in the reference (anymal.py:71-78
+    # returns the LSTM output), unlike go1/aliengo whose net output is
+    # discarded — the global discard-quirk default must not silence it
+    cfg.control.actuator_net_discard_output = False
 
     cfg.asset.file = "{ASSETS}/robots/anymal_c/urdf/anymal_c.urdf"
     cfg.asset.name = "anymal_c"
