@@ -34,8 +34,15 @@ from legged_gym_tpu.physics.chain_step import (ChainConsts, compute_plane,
                                                one_sim_dt)
 
 # lane-chunk size: biggest 128-multiple whose per-chunk temps keep the
-# kernel under the 16 MB VMEM scoped budget
+# kernel inside the VMEM scoped budget. Measured on the real v5e with the
+# round-2 contact law at 1920 envs: a 640-env block (G=5 sublanes) needs
+# 16.06 MB scoped vmem and a 384-env block (G=3) needs MORE (18.29 MB —
+# sublane padding to 8 makes padded block size nearly independent of G,
+# and the extra grid steps add pipelining buffers). So blocks stay at
+# 1024 lanes max and the pallas_call raises its scoped-vmem allowance
+# via CompilerParams(vmem_limit_bytes) instead (v5e has 128 MB VMEM).
 CHUNK = 1024
+VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
@@ -176,6 +183,8 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(*(env_ins + const_ins))
 
     return tuple(out[:6]) + (out[6],)

@@ -48,7 +48,13 @@ def _seed_from_repo(path, backend):
 def setup_jax(matmul_precision="highest", cache=True):
     """Framework JAX defaults: persistent compile cache + full-f32 matmul
     precision (TPU matmuls default to bf16, which is too coarse for
-    physics state and PPO ratio math; 'highest' = 6-pass bf16 ~ f32)."""
+    physics state and PPO ratio math; 'highest' = 6-pass bf16 ~ f32).
+
+    NOTE: do NOT try to raise xla_tpu_scoped_vmem_limit_kib via
+    XLA_FLAGS here — the CPU-client jaxlib build aborts on unknown TPU
+    flags (measured: F parse_flags_from_env). The mega-kernel's VMEM
+    headroom is granted per-kernel via CompilerParams(vmem_limit_bytes)
+    in physics/pallas_step.py instead."""
     import jax
     if cache:
         enable_compilation_cache()
