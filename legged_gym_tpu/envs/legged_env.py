@@ -41,8 +41,8 @@ from legged_gym_tpu.physics.engine import Engine, SimConfig
 from legged_gym_tpu.physics.params import (broadcast_nominal,
                                            link_params_from_scales)
 from legged_gym_tpu.physics.state import PhysicsState
-from legged_gym_tpu.terrain.heightfield import (TerrainPatch,
-                                                extract_patches,
+from legged_gym_tpu.terrain.heightfield import (PatchExtractor,
+                                                TerrainPatch,
                                                 patch_sample_min3,
                                                 sample_min3)
 from legged_gym_tpu.terrain.terrain import Terrain, TerrainGrid
@@ -225,9 +225,10 @@ class LeggedEnv:
             lambda n: broadcast_nominal(self.model, n, jnp.float32))
 
         # fused chain-layout fast path (physics/chain_engine.py): Pallas
-        # mega-kernel on TPU, plain-XLA twin on CPU
+        # mega-kernel on TPU, plain-XLA twin on CPU. Supports the
+        # anchored-static-friction carry (contact_warm_start) natively.
         self.chain_engine = None
-        if getattr(cfg.sim, "use_chain_engine", True) and not self._warm_start:
+        if getattr(cfg.sim, "use_chain_engine", True):
             try:
                 from legged_gym_tpu.physics.chain_engine import ChainEngine
                 self.chain_engine = ChainEngine(
@@ -374,6 +375,7 @@ class LeggedEnv:
         self.patch_cache_S = 40          # 4.0 m: scan +-0.95 m, reset
         #                                  offset +-1 m, drift margin
         self.patch_refresh = 4           # steps between re-extractions
+        self._patch_extractor = None
         # contact window passed to the physics kernel: center crop of the
         # cache (VMEM budget). +-1.2 m covers reach + drift for walking
         # envs; freshly reset envs (up to +-1 m off window center) may
@@ -381,6 +383,7 @@ class LeggedEnv:
         self.contact_patch_S = 24
         if self.grid is not None:
             Sc = self.patch_cache_S
+            self._patch_extractor = PatchExtractor(self.grid, size=Sc)
             G = np.asarray(self.grid.height, np.float32)
             R, C = G.shape
             hs = self.grid.horizontal_scale
@@ -625,10 +628,18 @@ class LeggedEnv:
             episode_sums={name: jnp.zeros(n, self.dtype)
                           for name in self.reward_scales},
             actuator_state=self._init_actuator_state(n),
-            contact_ws=(jnp.zeros((3, len(self.model.cp_link), n),
-                                  self.dtype)
-                        if self._warm_start else None),
+            contact_ws=self._init_contact_ws(n),
         )
+
+    def _init_contact_ws(self, n):
+        """Static-friction anchor carry: chain-layout group list on the
+        fast path, stacked (3, P, N) on the general engine, None when
+        warm start is off."""
+        if not self._warm_start:
+            return None
+        if self.chain_engine is not None:
+            return self.chain_engine.init_anchors(n, self.dtype)
+        return jnp.zeros((3, len(self.model.cp_link), n), self.dtype)
 
     def reset(self, key):
         """(state, obs): global reset + one zero-action step (reference
@@ -663,9 +674,8 @@ class LeggedEnv:
             refresh = (state.common_step % self.patch_refresh) == 0
 
             def _do_refresh(_):
-                tp = extract_patches(self.grid, state.physics.pos[0],
-                                     state.physics.pos[1],
-                                     size=self.patch_cache_S)
+                tp = self._patch_extractor(state.physics.pos[0],
+                                           state.physics.pos[1])
                 return tp.h, jnp.transpose(tp.h, (1, 2, 0)), tp.r0, tp.c0
 
             def _keep(_):
@@ -736,11 +746,16 @@ class LeggedEnv:
                 # fused chain path: the whole decimation loop is one
                 # program (Pallas mega-kernel on TPU)
                 use_pallas = jax.default_backend() != "cpu"
-                physics, torques_d, contact_f_d = \
-                    self.chain_engine.step_decimation_pos(
-                        state.physics, state.link_params, state.friction,
-                        targets, use_pallas=use_pallas,
-                        contact_patch=contact_patch)
+                out = self.chain_engine.step_decimation_pos(
+                    state.physics, state.link_params, state.friction,
+                    targets, use_pallas=use_pallas,
+                    contact_patch=contact_patch,
+                    anchors=state.contact_ws if self._warm_start
+                    else None)
+                if self._warm_start:
+                    physics, torques_d, contact_f_d, contact_ws = out
+                else:
+                    physics, torques_d, contact_f_d = out
                 infos = None
                 actuator_state = state.actuator_state
             elif self._warm_start:
@@ -1028,8 +1043,11 @@ class LeggedEnv:
             ], axis=0).T                                  # (N, P)
 
         if self._warm_start:
-            # fresh spawns start with no remembered stick forces
-            contact_ws = jnp.where(done[None, None, :], 0.0, contact_ws)
+            # fresh spawns start with no remembered stick anchors (zeros
+            # are stale by the anchor_stale2 rule -> re-snap on touch);
+            # env axis is last in every anchor layout
+            keep = (~done).astype(self.dtype)
+            contact_ws = jax.tree.map(lambda a: a * keep, contact_ws)
         else:
             contact_ws = None
         new_state = EnvState(

@@ -77,7 +77,11 @@ class ChainEngine:
             horizontal_scale=1.0,
             wall_thresh=0.0,      # set by bind_grid
             patch_S=patch_S,
-            plane_per_step=plane_per_step)
+            plane_per_step=plane_per_step,
+            warm_start=sim.contact.warm_start,
+            anchor_beta=sim.contact.anchor_beta,
+            anchor_vmax=sim.contact.anchor_vmax,
+            anchor_stale2=sim.contact.anchor_stale2)
 
         # joint-order <-> level-layout one-hot matrices (no gathers)
         M = np.zeros((L * K, nq), np.float32)
@@ -153,13 +157,25 @@ class ChainEngine:
 
     # ------------------------------------------------------- public step
 
+    def init_anchors(self, n, dtype=jnp.float32):
+        """Zeroed static-friction anchors, one (3, S, K, N) array per
+        point group (zeros are >10 cm from any real contact, so the
+        stale rule re-snaps them on first touch). None when the contact
+        law runs without warm start."""
+        if not self.cc.warm_start:
+            return None
+        return [jnp.zeros((3,) + g.offs.shape[:2] + (n,), dtype)
+                for g in self.cm.groups]
+
     def step_decimation_pos(self, state: PhysicsState, link_params,
                             friction, targets, use_pallas=False,
-                            contact_patch=None):
+                            contact_patch=None, anchors=None):
         """Full policy-step physics (decimation x substeps), position
         drive. Returns (state', torques (nq, N), body_forces (3, nb, N))
         — body_forces is the net-contact-force sensor of the last
-        substep (reference legged_robot.py:115,509)."""
+        substep (reference legged_robot.py:115,509). With
+        ``cc.warm_start`` and ``anchors`` (init_anchors layout), returns
+        a 4th element: the updated anchors."""
         lp_base, lp_lvl = self.level_link_params(link_params)
         q_lvl = self.to_level(state.q)
         qd_lvl = self.to_level(state.qd)
@@ -170,6 +186,7 @@ class ChainEngine:
             ph, r0, c0 = self.extract_contact_patch(
                 self.grid, state.pos[0], state.pos[1])
 
+        track_anchors = self.cc.warm_start and anchors is not None
         n = state.pos.shape[-1]
         if use_pallas:
             from legged_gym_tpu.physics.pallas_step import CHUNK
@@ -181,15 +198,20 @@ class ChainEngine:
             out = run_decimation_pallas(
                 self.cc, lp_base, lp_lvl, friction, tgt_lvl,
                 ph, r0, c0, state.pos, state.quat, state.vel,
-                q_lvl, qd_lvl)
+                q_lvl, qd_lvl, anchors=anchors)
         else:
             out = chain_step.run_decimation_chain(
                 self.cc, lp_base, lp_lvl, friction, tgt_lvl,
                 ph, r0, c0, state.pos, state.quat, state.vel,
-                q_lvl, qd_lvl)
-        pos, quat, vel, q_lvl, qd_lvl, tau_lvl, body_f = out
+                q_lvl, qd_lvl, anchors=anchors)
+        if track_anchors:
+            pos, quat, vel, q_lvl, qd_lvl, tau_lvl, body_f, anchors = out
+        else:
+            pos, quat, vel, q_lvl, qd_lvl, tau_lvl, body_f = out
 
         new_state = PhysicsState(pos=pos, quat=quat, vel=vel,
                                  q=self.from_level(q_lvl),
                                  qd=self.from_level(qd_lvl))
+        if track_anchors:
+            return new_state, self.from_level(tau_lvl), body_f, anchors
         return new_state, self.from_level(tau_lvl), body_f

@@ -69,6 +69,15 @@ class ChainConsts:
     # sampling instruction count 4x — the sampler is the single biggest
     # instruction block in the fused kernel.
     plane_per_step: bool = True
+    # anchored static friction (contact.ContactConfig.warm_start): when
+    # on, per-point tangential anchors ride the decimation carry and the
+    # tangential force is the implicit anchor law
+    # (contact.anchored_tangential). Field names match ContactConfig so
+    # the shared law can read either config object.
+    warm_start: bool = False
+    anchor_beta: float = 0.5
+    anchor_vmax: float = 1.0
+    anchor_stale2: float = 0.01
 
 
 def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
@@ -302,13 +311,16 @@ def sample_patch_plane(cc: ChainConsts, cv, ph, pr0, pc0, x, y):
 
 
 def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
-                             mu_env):
+                             mu_env, anchor=None):
     """Implicit impulse contact force against a cached local plane.
 
     plane: (c0, dhdx, dhdy) each (S,K,N) — the plane in offset form
     h(x,y) = c0 + dhdx*x + dhdy*y, sampled once per sim dt or per policy
     step (the PhysX persistent-manifold analog); pos/vel: (3,S,K,N).
-    Matches contact.contact_forces (implicit branch).
+    Matches contact.contact_forces (implicit branch). With
+    ``cc.warm_start`` and an anchor array (3,S,K,N), the tangential term
+    is the implicit anchored-static-friction law and the return is
+    (f (3,S,K,N), new_anchor).
     """
     dt_in = cc.dt_inner
     c0, dhdx, dhdy = plane
@@ -331,9 +343,21 @@ def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
     vtx = vx - v_n * nx
     vty = vy - v_n * ny
     vtz = vz - v_n * nz
-    vt = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
     mu = 0.5 * (mu_env + cc.mu_terrain)
     met = cv[f"gmet{gi}"]
+
+    if cc.warm_start and anchor is not None:
+        from legged_gym_tpu.physics.contact import anchored_tangential
+        f_t, new_anchor = anchored_tangential(
+            cc, pos, fn_mag, mu, jnp.stack([vtx, vty, vtz]),
+            jnp.stack([nx, ny, nz]), met, dt_in, anchor,
+            depth=depth - (1.0 - act) * 1e9)
+        f = jnp.stack([fn_mag * nx + f_t[0],
+                       fn_mag * ny + f_t[1],
+                       fn_mag * nz + f_t[2]])
+        return f, new_anchor
+
+    vt = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
     ft_over_vt = jnp.minimum(mu * fn_mag / (vt + cc.slip_velocity),
                              met / dt_in)
     return jnp.stack([fn_mag * nx - ft_over_vt * vtx,
@@ -575,14 +599,19 @@ def compute_plane(cc: ChainConsts, cv, fk, ph, pr0, pc0):
 
 
 def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
-               ph, pr0, pc0, state5, plane=None):
+               ph, pr0, pc0, state5, plane=None, anchors=None):
     """One sim dt = `substeps` inner substeps with a contact plane cached
     at the first substep (PhysX persistent-manifold analog) — or reused
     from `plane` (per-policy-step cadence). Shared body of the plain-JAX
     path and the Pallas kernel.
 
+    anchors: per-group list of (3,S,K,N) static-friction anchor
+    positions when ``cc.warm_start`` (threaded through substeps and
+    returned), else None.
+
     Returns (state5', tau (L,K,N) last substep,
-             body_f (3, n_bodies, N) net contact forces, last substep)."""
+             body_f (3, n_bodies, N) net contact forces (last substep)
+             [, anchors' when cc.warm_start])."""
     cm = cc.cm
     pos, quat, vel, q, qd = state5
     tau_out = None
@@ -590,6 +619,9 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
     own_plane = plane is None
     if own_plane:
         plane = [None] * len(cm.groups)
+    track_anchors = cc.warm_start and anchors is not None
+    if track_anchors:
+        anchors = list(anchors)
     has_damping = bool(np.any(cm.damping != 0.0))
     for s in range(cc.substeps):
         fk = fk_chain(cc, cv, pos, quat, vel, q, qd)
@@ -613,8 +645,13 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
                 h, dhdx, dhdy = sample_patch_plane(cc, cv, ph, pr0, pc0,
                                                    x, y)
                 plane[gi] = (h - dhdx * x - dhdy * y, dhdx, dhdy)
-            f = contact_force_from_plane(cc, cv, gi, plane[gi], ppos,
-                                         pvel, mu_env)
+            if track_anchors:
+                f, anchors[gi] = contact_force_from_plane(
+                    cc, cv, gi, plane[gi], ppos, pvel, mu_env,
+                    anchor=anchors[gi])
+            else:
+                f = contact_force_from_plane(cc, cv, gi, plane[gi], ppos,
+                                             pvel, mu_env)
             for (s0, s1, k, b) in _body_runs(g):
                 fr = jax.lax.slice_in_dim(f, s0, s1, axis=1)
                 fr = jnp.sum(fr, axis=1) if s1 - s0 > 1 else fr[:, 0]
@@ -649,18 +686,21 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
             cc, cv, pos, quat, vel, q, qd, a0, qdd)
         tau_out = tau
         body_f_out = body_f
+    if track_anchors:
+        return (pos, quat, vel, q, qd), tau_out, body_f_out, anchors
     return (pos, quat, vel, q, qd), tau_out, body_f_out
 
 
 def run_decimation_chain(cc: ChainConsts, lp_base, lp_lvl, mu_env,
                          targets, ph, pr0, pc0,
-                         pos, quat, vel, q, qd, cv=None):
+                         pos, quat, vel, q, qd, cv=None, anchors=None):
     """The full policy-step physics: decimation x substeps inner loop,
     position drive. Pure function of arrays; the Pallas kernel runs the
     same one_sim_dt body under a fori_loop.
 
     Returns (pos, quat, vel, q, qd, tau_last (L,K,N),
-             body_f_last (3, n_bodies, N))."""
+             body_f_last (3, n_bodies, N) [, anchors' when
+             cc.warm_start and anchors given])."""
     if cv is None:
         cv = {k: jnp.asarray(v)
               for k, v in const_values(cc, env_nd=pos.ndim - 1).items()}
@@ -671,8 +711,15 @@ def run_decimation_chain(cc: ChainConsts, lp_base, lp_lvl, mu_env,
         plane = compute_plane(cc, cv, fk0, ph, pr0, pc0)
     tau_last = None
     body_f_last = None
+    track_anchors = cc.warm_start and anchors is not None
     for _dec in range(cc.decimation):
-        state5, tau_last, body_f_last = one_sim_dt(
+        out = one_sim_dt(
             cc, cv, lp_base, lp_lvl, mu_env, targets, ph, pr0, pc0,
-            state5, plane=plane)
+            state5, plane=plane, anchors=anchors)
+        if track_anchors:
+            state5, tau_last, body_f_last, anchors = out
+        else:
+            state5, tau_last, body_f_last = out
+    if track_anchors:
+        return state5 + (tau_last, body_f_last, anchors)
     return state5 + (tau_last, body_f_last)

@@ -49,13 +49,21 @@ class ContactConfig:
     max_pushout_vel: float = 0.5   # [m/s] cap on the Baumgarte pushout
     # velocity so deep spawn penetrations are resolved over a few steps
     # instead of launching the robot
-    # EXPERIMENTAL anchored static friction (see contact_forces): carry
-    # per-point tangential anchors so a loaded stance sticks instead of
-    # creeping at ~F*dt/m_t. Off by default: it holds moderate stances
-    # but does not yet stabilize near-singular leg geometries (aliengo),
-    # and the chain/Pallas path does not support the carry.
+    # Anchored static friction (see contact_forces): carry per-point
+    # tangential anchors so a loaded stance sticks instead of creeping at
+    # ~F*dt/m_t. The anchor restoring force uses the SAME implicit
+    # impulse form as the normal direction (f = m_t/dt * (v_target - v),
+    # v_target = -beta*offset/dt), so its effective stiffness
+    # m_t*beta/dt^2 auto-scales with the calibrated tangential mass and
+    # the law is unconditionally stable (per-substep offset decay factor
+    # 1-beta in the point-mass limit). Off by default for reference-
+    # parity robots; required by aliengo's wide near-straight stance
+    # (~15 N sustained lateral load per foot). Supported by the general
+    # engine AND the chain/Pallas fast path (chain_step.py).
     warm_start: bool = False
-    anchor_stiffness: float = 2000.0   # N/m tangential stick spring
+    anchor_beta: float = 0.5           # offset-correction gain per substep
+    anchor_vmax: float = 1.0           # [m/s] cap on the anchor pull
+    anchor_stale2: float = 0.01        # [m^2] snap anchors further than this
 
 
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
@@ -138,41 +146,80 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
         # the stance splays and collapses); a pure force-bias warm start
         # ratchets (force memory has no restoring term). Instead carry a
         # tangential ANCHOR per point (f_prev is (3, P, N) anchor
-        # positions): while stuck, a spring-damper to the anchor holds
-        # the point; when the spring force leaves the Coulomb cone the
-        # force is clipped and the anchor is dragged to stay consistent
-        # (classic penalty stick). Airborne points snap their anchor to
-        # the current position, as do stale anchors (> 10 cm away:
-        # resets/teleports zero the carry).
-        anchor = jnp.asarray(f_prev, cp_pos.dtype)
-        dxa = cp_pos[0] - anchor[0]
-        dya = cp_pos[1] - anchor[1]
-        dza = cp_pos[2] - anchor[2]
-        in_contact = fn_mag > 0.0
-        stale = (dxa * dxa + dya * dya + dza * dza) > 0.01
-        fresh = (~in_contact) | stale
-        dxa = jnp.where(fresh, 0.0, dxa)
-        dya = jnp.where(fresh, 0.0, dya)
-        dza = jnp.where(fresh, 0.0, dza)
-        # tangential projection of the anchor offset
-        dn = dxa * nx + dya * ny + dza * nz
-        dxa, dya, dza = dxa - dn * nx, dya - dn * ny, dza - dn * nz
-        k_t = cfg.anchor_stiffness
-        ftx = -k_t * dxa - ft_over_vt * vtx
-        fty = -k_t * dya - ft_over_vt * vty
-        ftz = -k_t * dza - ft_over_vt * vtz
-        ft_mag = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz) + 1e-9
-        scale = jnp.minimum(1.0, mu * fn_mag / ft_mag)
-        fx = fn_mag * nx + ftx * scale
-        fy = fn_mag * ny + fty * scale
-        fz = fn_mag * nz + ftz * scale
-        # new anchor: sliding (scale < 1) drags it so the spring force
-        # equals the clipped force; sticking keeps it
-        ax = jnp.where(fresh[None], cp_pos,
-                       cp_pos - jnp.stack([dxa, dya, dza]) * scale[None])
-        return jnp.stack([fx, fy, fz]), ax
+        # positions) and apply the same implicit impulse law as the
+        # normal direction: the target velocity pulls the point back to
+        # its anchor at beta*offset/dt (capped), and the impulse that
+        # achieves it — (m_t/dt)(v_target - v_t) — is clipped to the
+        # Coulomb cone. Effective stiffness m_t*beta/dt^2 (~1e5 N/m for
+        # an aliengo foot at 1.25 ms) holds a 15 N lateral load with
+        # ~0.2 mm of drift; a fixed explicit spring either creeps (too
+        # soft) or rings the light distal links (too stiff) — this form
+        # is deadbeat-stable by the same argument as the Baumgarte
+        # normal law. When the cone clips, the anchor is dragged to
+        # stay consistent (classic return mapping). Airborne points
+        # snap their anchor to the current position, as do stale
+        # anchors (> sqrt(anchor_stale2) away: resets/teleports zero
+        # the carry).
+        met = me if m_eff_t is None else jnp.asarray(
+            m_eff_t, cp_pos.dtype)[:, None]
+        f, ax = anchored_tangential(
+            cfg, cp_pos, fn_mag, mu,
+            jnp.stack([vtx, vty, vtz]),
+            jnp.stack([nx, ny, nz]), met, dt,
+            jnp.asarray(f_prev, cp_pos.dtype), depth=depth)
+        return f + fn_mag[None] * jnp.stack([nx, ny, nz]), ax
 
     return jnp.stack([fx, fy, fz])                       # (3, P, N)
+
+
+def anchored_tangential(cfg, cp_pos, fn_mag, mu, vt_vec, n_vec, m_t, dt,
+                        anchor, depth=None):
+    """Implicit anchored static friction, shared by the stacked path and
+    the chain/Pallas path (chain_step.contact_force_from_plane).
+
+    Args (leading point axes arbitrary, env axis last):
+      cp_pos (3, ...): world point positions; fn_mag (...): normal force;
+      mu (...): friction coefficient; vt_vec (3, ...): tangential
+      velocity; n_vec (3, ...): unit terrain normal; m_t: tangential
+      apparent mass (broadcastable); anchor (3, ...): anchor positions;
+      depth (...): signed penetration — anchors release GEOMETRICALLY
+      (point > 5 mm clear of the surface), not on momentary normal-force
+      dropouts: fn_mag flickers to zero during stance micro-bounces, and
+      releasing then re-snapping the anchor each flicker ratchets a
+      loaded stance outward (measured on aliengo: the splay the anchors
+      exist to stop).
+
+    Returns (f_t (3, ...) tangential force, new_anchor (3, ...)).
+    """
+    dxa = cp_pos[0] - anchor[0]
+    dya = cp_pos[1] - anchor[1]
+    dza = cp_pos[2] - anchor[2]
+    near = (fn_mag > 0.0) if depth is None else (depth > -0.005)
+    stale = (dxa * dxa + dya * dya + dza * dza) > cfg.anchor_stale2
+    fresh = (~near) | stale
+    dxa = jnp.where(fresh, 0.0, dxa)
+    dya = jnp.where(fresh, 0.0, dya)
+    dza = jnp.where(fresh, 0.0, dza)
+    nx, ny, nz = n_vec[0], n_vec[1], n_vec[2]
+    # tangential projection of the anchor offset
+    dn = dxa * nx + dya * ny + dza * nz
+    dxa, dya, dza = dxa - dn * nx, dya - dn * ny, dza - dn * nz
+    # implicit anchor impulse: f = (m_t/dt) (v_target - v_t),
+    # v_target = -beta * offset / dt, |v_target| <= anchor_vmax
+    d_mag = jnp.sqrt(dxa * dxa + dya * dya + dza * dza) + 1e-12
+    v_pull = jnp.minimum(cfg.anchor_beta * d_mag / dt, cfg.anchor_vmax)
+    g = m_t / dt
+    ftx = g * (-v_pull * dxa / d_mag - vt_vec[0])
+    fty = g * (-v_pull * dya / d_mag - vt_vec[1])
+    ftz = g * (-v_pull * dza / d_mag - vt_vec[2])
+    ft_mag = jnp.sqrt(ftx * ftx + fty * fty + ftz * ftz) + 1e-9
+    scale = jnp.minimum(1.0, mu * fn_mag / ft_mag)
+    f_t = jnp.stack([ftx * scale, fty * scale, ftz * scale])
+    # new anchor: sliding (scale < 1) drags it so the remembered offset
+    # stays consistent with the clipped force; sticking keeps it
+    off = jnp.stack([dxa, dya, dza]) * scale[None]
+    new_anchor = jnp.where(fresh[None], cp_pos, cp_pos - off)
+    return f_t, new_anchor
 
 
 def accumulate_body_forces(model, f_pts):

@@ -47,17 +47,21 @@ VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
                           ph, r0, c0, pos, quat, vel, q, qd,
-                          interpret=False):
+                          interpret=False, anchors=None):
     """Same contract as chain_step.run_decimation_chain, fused on TPU.
 
     Shapes: lp_base (10,N), lp_lvl (L,10,K,N), mu (N,), targets (L,K,N),
     ph (S,S,N), r0/c0 (N,) int32, pos (3,N), quat (4,N), vel (6,N),
-    q/qd (L,K,N).
+    q/qd (L,K,N). anchors (cc.warm_start only): per-group list of
+    (3,S,K,N) static-friction anchors, carried through the decimation
+    loop and returned as extra outputs.
     """
     cm = cc.cm
     L, K = cm.L, cm.K
     n = pos.shape[-1]
     dtype = pos.dtype
+    track_anchors = cc.warm_start and anchors is not None
+    anchors = list(anchors) if track_anchors else []
 
     if n <= CHUNK:
         nb = n                       # single full block: any size legal
@@ -81,7 +85,7 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         r0.reshape(1, n).astype(dtype),
         c0.reshape(1, n).astype(dtype),
         pos, quat, vel, q, qd,
-    ]
+    ] + anchors
 
     # array constants go in as (replicated) inputs — Pallas kernels can't
     # capture array constants. env_nd=2: the kernel splits each block's
@@ -114,17 +118,20 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         jax.ShapeDtypeStruct((L, K, n), dtype),     # qd
         jax.ShapeDtypeStruct((L, K, n), dtype),     # tau
         jax.ShapeDtypeStruct((3, cm.n_bodies, n), dtype),  # body_f
-    ]
+    ] + [jax.ShapeDtypeStruct(a.shape, dtype) for a in anchors]
     out_specs = [env_spec(s.shape) for s in out_shapes]
     n_env_in = len(env_ins)
+    n_anchor = len(anchors)
 
     def kernel(*refs):
         env_refs = refs[:n_env_in]
         cv_refs = refs[n_env_in:n_env_in + len(const_ins)]
         out_refs = refs[n_env_in + len(const_ins):]
         (lpb, lpl, mu_r, tgt, ph_r, r0_r, c0_r,
-         pos_r, quat_r, vel_r, q_r, qd_r) = env_refs
-        (pos_o, quat_o, vel_o, q_o, qd_o, tau_o, bodyf_o) = out_refs
+         pos_r, quat_r, vel_r, q_r, qd_r) = env_refs[:12]
+        anchor_refs = env_refs[12:]
+        (pos_o, quat_o, vel_o, q_o, qd_o, tau_o, bodyf_o) = out_refs[:7]
+        anchor_outs = out_refs[7:]
 
         cv = {k: r[...] for k, r in zip(cv_keys, cv_refs)}
 
@@ -144,6 +151,7 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         c0_v = split(c0_r[...])[0]
         state5 = tuple(split(r[...])
                        for r in (pos_r, quat_r, vel_r, q_r, qd_r))
+        anchors_v = tuple(split(r[...]) for r in anchor_refs)
 
         if cc.plane_per_step:
             fk0 = fk_chain(cc, cv, *state5)
@@ -152,28 +160,44 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
             # the plane rides the fori carry explicitly (a pre-loop
             # closure over it crashed the Mosaic compile helper)
             def body(_i, carry):
-                state5, plane = carry
-                state5, tau, body_f = one_sim_dt(
+                state5, plane, anchors_c = carry
+                out = one_sim_dt(
                     cc, cv, lp_base_v, lp_lvl_v, mu_v, tgt_v,
-                    ph_v, r0_v, c0_v, state5, plane=plane)
+                    ph_v, r0_v, c0_v, state5, plane=plane,
+                    anchors=anchors_c if n_anchor else None)
+                if n_anchor:
+                    state5, tau, body_f, anchors_c = out
+                    anchors_c = tuple(anchors_c)
+                else:
+                    state5, tau, body_f = out
                 tau_o[...] = tau.reshape(tau.shape[:-2] + (nb,))
                 bodyf_o[...] = body_f.reshape(body_f.shape[:-2] + (nb,))
-                return (state5, plane)
+                return (state5, plane, anchors_c)
 
-            state5, _ = jax.lax.fori_loop(0, cc.decimation, body,
-                                          (state5, plane0))
+            state5, _, anchors_v = jax.lax.fori_loop(
+                0, cc.decimation, body, (state5, plane0, anchors_v))
         else:
-            def body(_i, state5):
-                state5, tau, body_f = one_sim_dt(
+            def body(_i, carry):
+                state5, anchors_c = carry
+                out = one_sim_dt(
                     cc, cv, lp_base_v, lp_lvl_v, mu_v, tgt_v,
-                    ph_v, r0_v, c0_v, state5)
+                    ph_v, r0_v, c0_v, state5,
+                    anchors=anchors_c if n_anchor else None)
+                if n_anchor:
+                    state5, tau, body_f, anchors_c = out
+                    anchors_c = tuple(anchors_c)
+                else:
+                    state5, tau, body_f = out
                 tau_o[...] = tau.reshape(tau.shape[:-2] + (nb,))
                 bodyf_o[...] = body_f.reshape(body_f.shape[:-2] + (nb,))
-                return state5
+                return (state5, anchors_c)
 
-            state5 = jax.lax.fori_loop(0, cc.decimation, body, state5)
+            state5, anchors_v = jax.lax.fori_loop(
+                0, cc.decimation, body, (state5, anchors_v))
 
         for ref, a in zip((pos_o, quat_o, vel_o, q_o, qd_o), state5):
+            ref[...] = a.reshape(a.shape[:-2] + (nb,))
+        for ref, a in zip(anchor_outs, anchors_v):
             ref[...] = a.reshape(a.shape[:-2] + (nb,))
 
     out = pl.pallas_call(
@@ -187,4 +211,6 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(*(env_ins + const_ins))
 
+    if track_anchors:
+        return tuple(out[:7]) + (list(out[7:]),)
     return tuple(out[:6]) + (out[6],)

@@ -28,10 +28,10 @@ def aliengo():
     cfg.control.use_actuator_network = True
     # aliengo's wide near-straight stance needs ~15 N of STATIC lateral
     # friction per foot; the capped regularized law creeps and the
-    # stance collapses (engine.py notes). Warm-started friction fixes
-    # it; it lives in the general engine, so the chain fast path is off.
+    # stance collapses (physics/contact.py:133-146 analysis). Anchored
+    # static friction (implicit anchor impulses) holds it — supported by
+    # the chain/Pallas fast path, so aliengo keeps the fast engine.
     cfg.sim.contact_warm_start = True
-    cfg.sim.use_chain_engine = False
     cfg.control.actuator_net_file = "{ASSETS}/actuator_nets/go1_net.pt"
 
     cfg.asset.file = "{ASSETS}/robots/aliengo/urdf/aliengo.urdf"

@@ -114,6 +114,60 @@ def extract_patches(grid, x, y, size=PATCH_SIZE):
     return TerrainPatch(h=h, r0=r0, c0=c0)
 
 
+class PatchExtractor:
+    """Fast per-env window extraction: block-table row gather + one-hot
+    crop (~1.9x faster than the vmap'd dynamic_slice of
+    ``extract_patches`` on the v5e — measured, tools/bench_patch_extract.py).
+
+    The grid is pre-tiled host-side into overlapping (2S, 2S) superblocks
+    at stride S; at runtime each env fetches ONE superblock as a
+    contiguous table row (fast gather shape) and crops its (S, S) window
+    with two batched one-hot matmuls (exact: one-hot weights select,
+    never interpolate). Same contract as ``extract_patches``.
+    """
+
+    def __init__(self, grid, size=PATCH_SIZE):
+        import numpy as np
+        self.grid = grid
+        self.size = S = int(size)
+        G = np.asarray(grid.height, np.float32)
+        R, C = G.shape
+        self.nbr = -(-R // S)
+        self.nbc = -(-C // S)
+        Gp = np.pad(G, ((0, self.nbr * S + S - R),
+                        (0, self.nbc * S + S - C)), mode="edge")
+        blocks = np.stack([
+            Gp[br * S:(br + 2) * S, bc * S:(bc + 2) * S].reshape(-1)
+            for br in range(self.nbr) for bc in range(self.nbc)])
+        self._blocks = jnp.asarray(blocks)            # (nb, 4*S*S)
+
+    def __call__(self, x, y):
+        grid, S = self.grid, self.size
+        hs = grid.horizontal_scale
+        R, C = grid.height.shape
+        n = x.shape[-1]
+        r0 = jnp.clip(((x + grid.border_size) / hs).astype(jnp.int32)
+                      - S // 2, 0, R - S)
+        c0 = jnp.clip(((y + grid.border_size) / hs).astype(jnp.int32)
+                      - S // 2, 0, C - S)
+        br, bc = r0 // S, c0 // S
+        fr, fc = r0 - br * S, c0 - bc * S             # in [0, S)
+        sw = jnp.take(self._blocks, br * self.nbc + bc,
+                      axis=0).reshape(n, 2 * S, 2 * S)
+        iota = jnp.arange(2 * S)
+        er = (iota[None, None, :] ==
+              (fr[:, None, None] + jnp.arange(S)[None, :, None])
+              ).astype(sw.dtype)                      # (N, S, 2S)
+        ec = (iota[None, None, :] ==
+              (fc[:, None, None] + jnp.arange(S)[None, :, None])
+              ).astype(sw.dtype)
+        t = jnp.einsum("nsr,nrc->nsc", er, sw,
+                       preferred_element_type=sw.dtype)
+        h = jnp.einsum("ntc,nsc->nst", ec, t,
+                       preferred_element_type=sw.dtype)
+        return TerrainPatch(h=h, r0=r0, c0=c0)
+
+
 def _patch_coords(grid, patch, x, y):
     """World (P, N) -> clamped in-patch cell coords (P, N)."""
     hs = grid.horizontal_scale
