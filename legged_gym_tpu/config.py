@@ -240,6 +240,12 @@ class PolicyCfg:
     actor_hidden_dims: list = _l(512, 256, 128)
     critic_hidden_dims: list = _l(512, 256, 128)
     activation: str = "elu"
+    # only for ActorCriticRecurrent (legged_robot_config.py:221-224);
+    # rnn_type is set from runner.policy_class_name by the runner, or
+    # directly ("lstm") for explicit control
+    rnn_type: Optional[str] = None
+    rnn_hidden_size: int = 512
+    rnn_num_layers: int = 1
 
 
 @dataclass
@@ -260,6 +266,10 @@ class AlgorithmCfg:
 
 @dataclass
 class RunnerCfg:
+    # ActorCritic | ActorCriticRecurrent (legged_robot_config.py:241);
+    # Recurrent selects the LSTM memory per PolicyCfg.rnn_* fields
+    policy_class_name: str = "ActorCritic"
+    algorithm_class_name: str = "PPO"
     num_steps_per_env: int = 24
     max_iterations: int = 800
     save_interval: int = 50

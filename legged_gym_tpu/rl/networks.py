@@ -4,6 +4,12 @@ Equivalent of rsl_rl's ``ActorCritic`` (referenced from
 legged_robot_config.py:213-224): elu MLPs [512, 256, 128] for actor and
 critic, plus a state-independent per-dim action std parameter initialized
 to ``init_noise_std`` (held as std, not log-std, matching rsl_rl).
+
+Also the ``ActorCriticRecurrent`` option (legged_robot_config.py:221-224,
+runner policy_class_name): an LSTM memory (rnn_hidden_size, rnn_num_layers)
+in front of each MLP head, with the (h, c) carry held batch-FIRST
+(N, layers, 2, hidden) so it shards on the env axis like every other
+policy-boundary array.
 """
 from __future__ import annotations
 
@@ -46,15 +52,85 @@ def mlp_apply(layers, x, act):
     return x
 
 
+def is_recurrent(policy_cfg):
+    return getattr(policy_cfg, "rnn_type", None) is not None
+
+
+def init_lstm(key, in_dim, hidden, num_layers, dtype=jnp.float32):
+    """Stacked LSTM params: per layer {'w': (in+h, 4h), 'b': (4h,)} with
+    torch's gate order (i, f, g, o) so extracted torch weights drop in."""
+    layers = []
+    keys = jax.random.split(key, num_layers)
+    d = in_dim
+    for k in keys:
+        scale = 1.0 / jnp.sqrt(hidden)
+        w = jax.random.uniform(k, (d + hidden, 4 * hidden), dtype,
+                               -scale, scale)
+        layers.append({"w": w, "b": jnp.zeros((4 * hidden,), dtype)})
+        d = hidden
+    return layers
+
+
+def lstm_apply(layers, x, carry):
+    """x (N, in); carry (N, L, 2, h) -> (out (N, h), new_carry)."""
+    hs = []
+    for li, layer in enumerate(layers):
+        h = carry[:, li, 0]
+        c = carry[:, li, 1]
+        gates = jnp.concatenate([x, h], axis=-1) @ layer["w"] + layer["b"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        hs.append(jnp.stack([h, c], axis=1))      # (N, 2, h)
+        x = h
+    return x, jnp.stack(hs, axis=1)               # (N, L, 2, h)
+
+
+def init_memory(n, policy_cfg, dtype=jnp.float32):
+    """Zeroed LSTM carries for actor + critic: {'a': (N, L, 2, h), 'c': ...}
+    (the analog of rsl_rl's memory_a/memory_c hidden states)."""
+    shape = (n, policy_cfg.rnn_num_layers, 2, policy_cfg.rnn_hidden_size)
+    return {"a": jnp.zeros(shape, dtype), "c": jnp.zeros(shape, dtype)}
+
+
 def init_actor_critic(key, obs_dim, num_actions, policy_cfg,
                       critic_obs_dim=None):
     ka, kc = jax.random.split(key)
+    std = jnp.full((num_actions,), policy_cfg.init_noise_std)
+    if is_recurrent(policy_cfg):
+        if policy_cfg.rnn_type != "lstm":
+            raise NotImplementedError(
+                f"rnn_type {policy_cfg.rnn_type} (reference supports "
+                "lstm; helpers.py:181 'TODO add GRU')")
+        ka, kma = jax.random.split(ka)
+        kc, kmc = jax.random.split(kc)
+        h = policy_cfg.rnn_hidden_size
+        nl = policy_cfg.rnn_num_layers
+        return {
+            "mem_a": init_lstm(kma, obs_dim, h, nl),
+            "mem_c": init_lstm(kmc, critic_obs_dim or obs_dim, h, nl),
+            "actor": init_mlp(ka, [h] + list(policy_cfg.actor_hidden_dims)
+                              + [num_actions]),
+            "critic": init_mlp(kc, [h] + list(policy_cfg.critic_hidden_dims)
+                               + [1]),
+            "std": std,
+        }
     actor = init_mlp(ka, [obs_dim] + list(policy_cfg.actor_hidden_dims)
                      + [num_actions])
     critic = init_mlp(kc, [critic_obs_dim or obs_dim]
                       + list(policy_cfg.critic_hidden_dims) + [1])
-    std = jnp.full((num_actions,), policy_cfg.init_noise_std)
     return {"actor": actor, "critic": critic, "std": std}
+
+
+def actor_mean_rnn(params, obs, act, carry):
+    """Recurrent actor: (mean, new_carry)."""
+    out, carry = lstm_apply(params["mem_a"], obs, carry)
+    return mlp_apply(params["actor"], out, act), carry
+
+
+def critic_value_rnn(params, obs, act, carry):
+    out, carry = lstm_apply(params["mem_c"], obs, carry)
+    return mlp_apply(params["critic"], out, act)[..., 0], carry
 
 
 def actor_mean(params, obs, act):

@@ -56,11 +56,21 @@ def init_train_state(key, obs_dim, num_actions, policy_cfg, alg_cfg,
 
 def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
     """Returns jittable ``learn_iteration(train_state, env_state, obs)``
-    -> (train_state, env_state, obs, metrics)."""
+    -> (train_state, env_state, obs, metrics).
+
+    With a recurrent policy (policy_cfg.rnn_type, rsl_rl's
+    ActorCriticRecurrent), the carried ``obs`` is the pack
+    (obs[, privileged_obs], memory) where memory holds the actor/critic
+    LSTM carries ({'a','c'}, (N, L, 2, h)); hidden states reset on done
+    and the pre-step carries are STORED per rollout step, so the
+    minibatch recompute replays each step from its recorded memory
+    (stored-state truncated BPTT — rsl_rl masks padded trajectories
+    instead; same PPO math, different gradient truncation)."""
     act = nets.activation_fn(policy_cfg.activation)
     tx = make_optimizer(alg_cfg)
     n_mb = alg_cfg.num_mini_batches
     n_ep = alg_cfg.num_learning_epochs
+    recurrent = nets.is_recurrent(policy_cfg)
     # asymmetric critic: when the env produces privileged observations,
     # the carried obs is the pack (actor_obs, privileged_obs) and the
     # critic consumes the privileged half (rsl_rl's critic_obs routing,
@@ -69,15 +79,30 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
 
     def learn_iteration(ts: TrainState, env_state, obs):
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
+        if recurrent:
+            obs, memory = obs
+        else:
+            memory = None
 
         def policy_step(carry, _):
-            env_state, obs_pack, key = carry
+            env_state, obs_pack, memory, key = carry
             obs = obs_pack[0] if asym else obs_pack
             cobs = obs_pack[1] if asym else obs_pack
             key, k_act = jax.random.split(key)
-            action, logp, mean, std = nets.sample_action(
-                k_act, ts.params, obs, act)
-            value = nets.critic_value(ts.params, cobs, act)
+            if recurrent:
+                mem0 = memory
+                mean, mem_a = nets.actor_mean_rnn(ts.params, obs, act,
+                                                  memory["a"])
+                std = jnp.broadcast_to(ts.params["std"], mean.shape)
+                eps = jax.random.normal(k_act, mean.shape, mean.dtype)
+                action = mean + std * eps
+                logp = nets.gaussian_log_prob(action, mean, std)
+                value, mem_c = nets.critic_value_rnn(ts.params, cobs, act,
+                                                     memory["c"])
+            else:
+                action, logp, mean, std = nets.sample_action(
+                    k_act, ts.params, obs, act)
+                value = nets.critic_value(ts.params, cobs, act)
             env_state, tr = env.step(env_state, action)
             data = dict(obs=obs, action=action, logp=logp, mean=mean,
                         std=std, value=value, reward=tr.reward,
@@ -88,15 +113,28 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
                         max_command_x=tr.max_command_x)
             if asym:
                 data["cobs"] = cobs
+            if recurrent:
+                # store the PRE-step carries for the update recompute;
+                # zero the carried state of envs that finished (rsl_rl
+                # resets hidden states on dones)
+                data["mem_a"] = mem0["a"]
+                data["mem_c"] = mem0["c"]
+                keep = (~tr.done).astype(mem_a.dtype)[:, None, None, None]
+                memory = {"a": mem_a * keep, "c": mem_c * keep}
             new_pack = ((tr.obs, tr.privileged_obs) if asym else tr.obs)
-            return (env_state, new_pack, key), data
+            return (env_state, new_pack, memory, key), data
 
-        (env_state, obs, _), batch = jax.lax.scan(
-            policy_step, (env_state, obs, k_roll), None, length=num_steps)
+        (env_state, obs, memory, _), batch = jax.lax.scan(
+            policy_step, (env_state, obs, memory, k_roll), None,
+            length=num_steps)
 
         # --- timeout bootstrap + GAE ---
-        last_value = nets.critic_value(
-            ts.params, obs[1] if asym else obs, act)
+        if recurrent:
+            last_value, _ = nets.critic_value_rnn(
+                ts.params, obs[1] if asym else obs, act, memory["c"])
+        else:
+            last_value = nets.critic_value(
+                ts.params, obs[1] if asym else obs, act)
         reward = batch["reward"] + (alg_cfg.gamma * batch["value"]
                                     * batch["time_out"])
         not_done = 1.0 - batch["done"].astype(reward.dtype)
@@ -131,17 +169,29 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
         }
         if asym:
             flat["cobs"] = batch["cobs"].reshape(tn, -1)
+        if recurrent:
+            flat["mem_a"] = batch["mem_a"].reshape(
+                (tn,) + batch["mem_a"].shape[2:])
+            flat["mem_c"] = batch["mem_c"].reshape(
+                (tn,) + batch["mem_c"].shape[2:])
         mb_size = tn // n_mb
         perm = jax.random.permutation(k_perm, tn)[: mb_size * n_mb]
         mb_idx = perm.reshape(n_mb, mb_size)
         mb_idx = jnp.tile(mb_idx, (n_ep, 1))          # epochs reuse perm
 
         def loss_fn(params, mb):
-            mean = nets.actor_mean(params, mb["obs"], act)
+            if recurrent:
+                mean, _ = nets.actor_mean_rnn(params, mb["obs"], act,
+                                              mb["mem_a"])
+                value, _ = nets.critic_value_rnn(
+                    params, mb["cobs"] if asym else mb["obs"], act,
+                    mb["mem_c"])
+            else:
+                mean = nets.actor_mean(params, mb["obs"], act)
+                value = nets.critic_value(
+                    params, mb["cobs"] if asym else mb["obs"], act)
             std = jnp.broadcast_to(params["std"], mean.shape)
             logp = nets.gaussian_log_prob(mb["action"], mean, std)
-            value = nets.critic_value(
-                params, mb["cobs"] if asym else mb["obs"], act)
             entropy = nets.gaussian_entropy(std)
 
             ratio = jnp.exp(logp - mb["logp"])
@@ -207,6 +257,8 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
         }
         new_ts = TrainState(params=params, opt_state=opt_state, lr=lr,
                             key=key)
+        if recurrent:
+            obs = (obs, memory)
         return new_ts, env_state, obs, metrics
 
     return learn_iteration

@@ -32,6 +32,15 @@ class PPORunner:
         self.mesh = mesh
         seed = train_cfg.seed if seed is None else seed
 
+        # ActorCriticRecurrent selection (reference runner
+        # policy_class_name, legged_robot_config.py:241; LSTM memory per
+        # policy rnn_* fields :221-224)
+        if ("Recurrent" in getattr(train_cfg.runner, "policy_class_name",
+                                   "ActorCritic")
+                and train_cfg.policy.rnn_type is None):
+            train_cfg.policy.rnn_type = "lstm"
+        self.recurrent = nets.is_recurrent(train_cfg.policy)
+
         key = jax.random.PRNGKey(seed)
         k_ts, self.reset_key = jax.random.split(key)
         self.train_state = init_train_state(
@@ -66,6 +75,9 @@ class PPORunner:
                     self.env_state,
                     jnp.zeros((self.env.num_envs, self.env.num_actions)))
                 self.obs = (tr.obs, tr.privileged_obs)
+            if self.recurrent:
+                self.obs = (self.obs, nets.init_memory(
+                    self.env.num_envs, self.cfg.policy))
             if self.mesh is not None:
                 from legged_gym_tpu.parallel import (replicate,
                                                      shard_batch,
@@ -183,25 +195,62 @@ class PPORunner:
 
     def get_inference_policy(self):
         """Deterministic jitted actor: obs (N, D) -> actions (N, na)
-        (rsl_rl get_inference_policy equivalent, play.py:66)."""
+        (rsl_rl get_inference_policy equivalent, play.py:66).
+
+        Recurrent policies return a STATEFUL callable holding the LSTM
+        carry across calls with hidden reset on first use — the behavior
+        of the reference's PolicyExporterLSTM (helpers.py:193-219:
+        persistent hidden_state/cell_state buffers); call
+        ``policy.reset_memory()`` between episodes."""
         act = nets.activation_fn(self.cfg.policy.activation)
         params = self.train_state.params
+        if not self.recurrent:
+            @jax.jit
+            def policy(obs):
+                return nets.actor_mean(params, obs, act)
+            return policy
+
+        cfg = self.cfg.policy
 
         @jax.jit
-        def policy(obs):
-            return nets.actor_mean(params, obs, act)
+        def step(obs, carry):
+            return nets.actor_mean_rnn(params, obs, act, carry)
 
-        return policy
+        class _StatefulPolicy:
+            def __init__(self):
+                self.carry = None
+
+            def reset_memory(self):
+                self.carry = None
+
+            def __call__(self, obs):
+                if self.carry is None:
+                    self.carry = nets.init_memory(obs.shape[0], cfg,
+                                                  obs.dtype)["a"]
+                action, self.carry = step(obs, self.carry)
+                return action
+
+        return _StatefulPolicy()
 
     def export_policy(self, path):
         """Serialize the actor for deployment (TorchScript-export analog,
-        helpers.py:180-190): saves params + an apply spec as .npz."""
+        helpers.py:180-219 incl. the LSTM exporter): saves params + an
+        apply spec as .npz. Recurrent actors additionally carry the LSTM
+        stack (torch gate order i,f,g,o) and its shape spec."""
         params = jax.device_get(self.train_state.params)
         flat = {}
         for i, layer in enumerate(params["actor"]):
             flat[f"w{i}"] = np.asarray(layer["w"])
             flat[f"b{i}"] = np.asarray(layer["b"])
         flat["activation"] = np.asarray(self.cfg.policy.activation)
+        if self.recurrent:
+            for i, cell in enumerate(params["mem_a"]):
+                flat[f"lstm_w{i}"] = np.asarray(cell["w"])
+                flat[f"lstm_b{i}"] = np.asarray(cell["b"])
+            flat["rnn_hidden_size"] = np.asarray(
+                self.cfg.policy.rnn_hidden_size)
+            flat["rnn_num_layers"] = np.asarray(
+                self.cfg.policy.rnn_num_layers)
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)

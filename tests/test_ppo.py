@@ -117,6 +117,71 @@ def test_ppo_learns_point_env():
     assert 1e-5 <= lr <= 1e-2
 
 
+def test_recurrent_ppo_learns_point_env():
+    """ActorCriticRecurrent option (reference legged_robot_config.py:221-224
+    + runner policy_class_name): LSTM memory in front of the MLP heads.
+    Same trivial control problem must still improve, hidden states must
+    ride the carried obs pack."""
+    from legged_gym_tpu.rl import networks as nets
+
+    env = PointEnv()
+    pol = PolicyCfg(actor_hidden_dims=[32], critic_hidden_dims=[32],
+                    rnn_type="lstm", rnn_hidden_size=16, rnn_num_layers=1)
+    alg = AlgorithmCfg(num_mini_batches=2, learning_rate=1e-3)
+    ts = init_train_state(jax.random.PRNGKey(0), env.obs_dim,
+                          env.num_actions, pol, alg)
+    assert "mem_a" in ts.params and "mem_c" in ts.params
+    learn = jax.jit(make_learn_fn(env, pol, alg, num_steps=16))
+    env_state, obs = env.reset(jax.random.PRNGKey(1))
+    obs = (obs, nets.init_memory(env.num_envs, pol))
+
+    first = None
+    for it in range(40):
+        ts, env_state, obs, metrics = learn(ts, env_state, obs)
+        r = float(metrics["mean_step_reward"])
+        if first is None:
+            first = r
+    # carried pack keeps (obs, memory) shape
+    assert isinstance(obs, tuple) and set(obs[1]) == {"a", "c"}
+    assert obs[1]["a"].shape == (env.num_envs, 1, 2, 16)
+    assert np.isfinite(r)
+    assert r > first, f"no improvement: {first} -> {r}"
+
+
+def test_lstm_apply_matches_torch_semantics():
+    """Gate order/i-f-g-o and carry layout: one step of lstm_apply must
+    match torch.nn.LSTM with the same weights."""
+    torch = __import__("torch")
+    from legged_gym_tpu.rl import networks as nets
+
+    rng = np.random.default_rng(0)
+    in_dim, hidden, n = 5, 7, 3
+    x = rng.normal(size=(n, in_dim)).astype(np.float32)
+    h0 = rng.normal(size=(n, hidden)).astype(np.float32)
+    c0 = rng.normal(size=(n, hidden)).astype(np.float32)
+
+    t_lstm = torch.nn.LSTM(in_dim, hidden, num_layers=1,
+                           batch_first=False)
+    with torch.no_grad():
+        out_t, (h_t, c_t) = t_lstm(
+            torch.from_numpy(x).unsqueeze(0),
+            (torch.from_numpy(h0).unsqueeze(0),
+             torch.from_numpy(c0).unsqueeze(0)))
+
+    # torch packs weight_ih (4h, in), weight_hh (4h, h), two biases
+    w = np.concatenate([t_lstm.weight_ih_l0.detach().numpy().T,
+                        t_lstm.weight_hh_l0.detach().numpy().T], axis=0)
+    b = (t_lstm.bias_ih_l0 + t_lstm.bias_hh_l0).detach().numpy()
+    params = [{"w": jnp.asarray(w), "b": jnp.asarray(b)}]
+    carry = jnp.stack([jnp.asarray(h0), jnp.asarray(c0)],
+                      axis=1)[:, None]              # (N, 1, 2, h)
+    out_j, new_carry = nets.lstm_apply(params, jnp.asarray(x), carry)
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.squeeze(0).numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_carry[:, 0, 1]),
+                               c_t.squeeze(0).numpy(), atol=1e-5)
+
+
 def test_timeout_bootstrap_changes_advantage():
     """With all rewards zero and positive values, a time_out step should
     inject gamma*V into the reward (rsl_rl bootstrap semantics)."""
