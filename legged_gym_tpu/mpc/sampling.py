@@ -56,10 +56,18 @@ class SamplingMPC:
         self.method = method
 
     # ---- rollout cost (pure) ----
-    def rollout_cost(self, phys0, link_params, friction, commands, seqs):
+    def rollout_cost(self, phys0, link_params, friction, commands, seqs,
+                     contact_patch=None):
         """seqs: (H, na, K) action sequences; phys0 batched over K.
         Returns (K,) total cost. No resets: bad candidates accumulate the
-        termination-contact penalty instead of teleporting."""
+        termination-contact penalty instead of teleporting.
+
+        contact_patch: optional pre-extracted (ph (S,S,K), r0, c0)
+        terrain window shared by every step of the horizon — all K
+        candidates start from ONE robot state, so a single window around
+        it covers the whole lookahead (horizon * dt * |v| << window
+        radius) and the per-step per-candidate window extraction (the
+        slowest primitive on this backend) drops out of the solve."""
         env = self.env
         dflt = jnp.asarray(env.default_dof_pos, jnp.float32)[:, None]
         lo = jnp.asarray(env.soft_dof_lower, jnp.float32)[:, None]
@@ -81,7 +89,8 @@ class SamplingMPC:
                 phys, _tau, contact_f = \
                     env.chain_engine.step_decimation_pos(
                         phys, link_params, friction, targets,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas,
+                        contact_patch=contact_patch)
             else:
                 patch = None
                 if env.grid is not None:
@@ -126,6 +135,18 @@ class SamplingMPC:
         (phys, cost), _ = jax.lax.scan(step, (phys0, cost0), seqs)
         return cost
 
+    def _shared_patch(self, phys_single, k):
+        """One terrain window around the (single) start state, broadcast
+        over the K candidates (see rollout_cost)."""
+        env = self.env
+        if env.grid is None or getattr(env, "chain_engine", None) is None:
+            return None
+        ce = env.chain_engine
+        ph, r0, c0 = ce.extract_contact_patch(
+            env.grid, phys_single.pos[0], phys_single.pos[1])
+        return (jnp.broadcast_to(ph, ph.shape[:-1] + (k,)),
+                jnp.broadcast_to(r0, (k,)), jnp.broadcast_to(c0, (k,)))
+
     # ---- planners ----
     def plan(self, key, phys_single, link_params, friction, commands,
              nominal=None):
@@ -139,11 +160,13 @@ class SamplingMPC:
         lp_k = jnp.broadcast_to(link_params,
                                 link_params.shape[:-1] + (k,))
         fr_k = jnp.broadcast_to(friction, (k,))
+        cpatch = self._shared_patch(phys_single, k)
 
         if self.method == "mppi":
             noise = (jax.random.normal(key, (h, na, k)) * cfg.noise_std)
             seqs = nominal[:, :, None] + noise
-            cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs)
+            cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs,
+                                     contact_patch=cpatch)
             w = jax.nn.softmax(-cost / cfg.temperature)     # (K,)
             new_seq = jnp.sum(seqs * w[None, None, :], axis=-1)
             return new_seq, {"cost": jnp.sum(cost * w),
@@ -156,7 +179,8 @@ class SamplingMPC:
             mean, std = carry
             noise = jax.random.normal(key_i, (h, na, k))
             seqs = mean[:, :, None] + std[:, :, None] * noise
-            cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs)
+            cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs,
+                                     contact_patch=cpatch)
             _, elite_idx = jax.lax.top_k(-cost, n_elite)
             elite = seqs[:, :, elite_idx]
             mean = elite.mean(axis=-1)
@@ -185,10 +209,12 @@ class GradientMPC(SamplingMPC):
         phys1 = phys_single
         lp = link_params
         fr = friction
+        cpatch = self._shared_patch(phys_single, 1)
 
         def total_cost(seq):
             return self.rollout_cost(phys1, lp, fr, commands,
-                                     seq[:, :, None])[0]
+                                     seq[:, :, None],
+                                     contact_patch=cpatch)[0]
 
         grad_fn = jax.value_and_grad(total_cost)
 
