@@ -42,7 +42,26 @@ from legged_gym_tpu.physics.chain_step import (ChainConsts, compute_plane,
 # 1024 lanes max and the pallas_call raises its scoped-vmem allowance
 # via CompilerParams(vmem_limit_bytes) instead (v5e has 128 MB VMEM).
 CHUNK = 1024
-VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _vmem_limit_bytes():
+    """Scoped-VMEM allowance for the mega-kernel, gated by the detected
+    TPU generation (ADVICE r2): v4/v5 chips carry 128 MB VMEM so a 64 MB
+    scoped budget is safe; older generations (v2/v3: 16 MB) get the
+    architectural default budget instead of an over-request that fails
+    Mosaic compilation outright."""
+    import jax
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for tag in ("v2", "v3"):
+        if tag in kind:
+            return None                 # keep the compiler default
+    return 64 * 1024 * 1024
+
+
+VMEM_LIMIT_BYTES = None                 # resolved lazily (first call)
 
 
 def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
@@ -200,6 +219,11 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         for ref, a in zip(anchor_outs, anchors_v):
             ref[...] = a.reshape(a.shape[:-2] + (nb,))
 
+    global VMEM_LIMIT_BYTES
+    if VMEM_LIMIT_BYTES is None:
+        VMEM_LIMIT_BYTES = _vmem_limit_bytes() or 0
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+               if VMEM_LIMIT_BYTES else pltpu.CompilerParams())
     out = pl.pallas_call(
         kernel,
         grid=(n // nb,),
@@ -207,8 +231,7 @@ def run_decimation_pallas(cc: ChainConsts, lp_base, lp_lvl, mu, targets,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        compiler_params=cparams,
     )(*(env_ins + const_ins))
 
     if track_anchors:
