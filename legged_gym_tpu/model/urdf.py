@@ -146,7 +146,14 @@ def parse_urdf(path: str) -> Urdf:
             j.upper = float(limit.get("upper", "0"))
             j.effort = float(limit.get("effort", "0"))
             j.velocity = float(limit.get("velocity", "0"))
-        if j.kind == "continuous":
+        if j.kind == "continuous" or (j.lower == 0.0 and j.upper == 0.0):
+            # no position range declared (ANYmal's URDF: <limit effort
+            # velocity/> only) = unlimited, matching Isaac's importer
+            # (hasLimits=false -> +-inf DOF props; the reference's
+            # soft-rescale and target clip then no-op). Parsing the
+            # absent range as [0, 0] would pin every joint to zero —
+            # both the joint-limit spring and the hard projection
+            # (integrator.py) key off these bounds.
             j.lower, j.upper = -np.pi * 1e6, np.pi * 1e6
         dyn = el.find("dynamics")
         if dyn is not None:

@@ -41,7 +41,8 @@ class ChainEngine:
         if not sim.contact.implicit:
             raise NotChainStructured("explicit contact not supported")
         cm = build_chain_model(model, engine.cp_m_eff,
-                               engine.cp_m_eff_t, engine.cp_vmax)
+                               engine.cp_m_eff_t, engine.cp_vmax,
+                               k_static=engine.cp_k_static)
         self.engine = engine
         self.model = model
         self.cm = cm

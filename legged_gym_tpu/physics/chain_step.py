@@ -139,7 +139,12 @@ def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
         cv[f"grad{gi}"] = t(g.radius)                    # (S,K,1*)
         cv[f"gme{gi}"] = t(g.m_eff)
         cv[f"gmet{gi}"] = t(g.m_eff_t)
+        # reciprocals precomputed for the direction-aware apparent mass
+        # (one in-kernel reciprocal instead of three divides per point)
+        cv[f"gimn{gi}"] = t(1.0 / np.maximum(g.m_eff, 1e-9))
+        cv[f"gimt{gi}"] = t(1.0 / np.maximum(g.m_eff_t, 1e-9))
         cv[f"gvp{gi}"] = t(g.vmax)
+        cv[f"gks{gi}"] = t(g.k_static)
         cv[f"gact{gi}"] = t(g.active.astype(np.float64))
     return {k: np.asarray(v, dtype) for k, v in cv.items()}
 
@@ -310,48 +315,72 @@ def sample_patch_plane(cc: ChainConsts, cv, ph, pr0, pc0, x, y):
     return h, dhdx, dhdy
 
 
+def plane_consts(cc: ChainConsts, cv, gi, h, dhdx, dhdy, x, y):
+    """Per-policy-step plane constants for one point group: offset form
+    c0 + normal + DIRECTION-AWARE apparent mass.
+
+    The apparent masses me/met are calibrated along world z / horizontal
+    at the default pose (engine.calibrate_contact_mass); on a tilted
+    terrain normal the true apparent mass interpolates toward the (much
+    smaller) tangential one, and using the vertical mass there
+    over-corrects the stopping impulse — restitution > 0 on every slope
+    landing (measured: rough-terrain training swamped by a -21/s
+    lin_vel_z bounce penalty). Harmonic combination by direction cosines
+    = exact for an anisotropic point mass; nz=1 (flat) reduces to the
+    calibrated vertical mass (to rounding). Computed ONCE per plane
+    refresh — all of this is constant over the substeps that share the
+    plane."""
+    inv_norm = 1.0 / jnp.sqrt(1.0 + dhdx * dhdx + dhdy * dhdy)
+    nx, ny, nz = -dhdx * inv_norm, -dhdy * inv_norm, inv_norm
+    nz2 = nz * nz
+    gain = (1.0 / (nz2 * cv[f"gimn{gi}"] + (1.0 - nz2) * cv[f"gimt{gi}"])
+            / cc.dt_inner) * cv[f"gact{gi}"]      # masked impulse gain
+    return (h - dhdx * x - dhdy * y, dhdx, dhdy, nx, ny, nz, gain)
+
+
 def contact_force_from_plane(cc: ChainConsts, cv, gi, plane, pos, vel,
                              mu_env, anchor=None):
     """Implicit impulse contact force against a cached local plane.
 
-    plane: (c0, dhdx, dhdy) each (S,K,N) — the plane in offset form
-    h(x,y) = c0 + dhdx*x + dhdy*y, sampled once per sim dt or per policy
-    step (the PhysX persistent-manifold analog); pos/vel: (3,S,K,N).
-    Matches contact.contact_forces (implicit branch). With
-    ``cc.warm_start`` and an anchor array (3,S,K,N), the tangential term
-    is the implicit anchored-static-friction law and the return is
-    (f (3,S,K,N), new_anchor).
+    plane: plane_consts() tuple, each (S,K,N) — sampled once per sim dt
+    or per policy step (the PhysX persistent-manifold analog);
+    pos/vel: (3,S,K,N). Matches contact.contact_forces (implicit
+    branch). With ``cc.warm_start`` and an anchor array (3,S,K,N), the
+    tangential term is the implicit anchored-static-friction law and the
+    return is (f (3,S,K,N), new_anchor).
     """
     dt_in = cc.dt_inner
-    c0, dhdx, dhdy = plane
+    c0, dhdx, dhdy, nx, ny, nz, gain = plane
     x, y, z = pos[0], pos[1], pos[2]
     h = c0 + dhdx * x + dhdy * y
-    inv_norm = 1.0 / jnp.sqrt(1.0 + dhdx * dhdx + dhdy * dhdy)
-    nx, ny, nz = -dhdx * inv_norm, -dhdy * inv_norm, inv_norm
 
     r = cv[f"grad{gi}"]
-    me = cv[f"gme{gi}"]
-    act = cv[f"gact{gi}"]
+    met = cv[f"gmet{gi}"]
     depth = r + (h - z) * nz
     vx, vy, vz = vel[0], vel[1], vel[2]
     v_n = vx * nx + vy * ny + vz * nz
     v_push = jnp.minimum(cc.baumgarte * depth / dt_in, cv[f"gvp{gi}"])
-    fn_mag = jnp.where(depth > 0.0,
-                       (me / dt_in) * jnp.maximum(v_push - v_n, 0.0),
-                       0.0) * act
+    # one-way static-support spring (see contact.contact_forces /
+    # engine.calibrate_contact_mass): no force while separating > 5 cm/s
+    # -> plastic landings; carries the standing load at mm depths; depth
+    # saturates at 15 mm so deep penetrations resolve via the capped
+    # impulse term instead of a spring kick
+    fn_raw = (gain * jnp.maximum(v_push - v_n, 0.0)
+              + cv[f"gks{gi}"] * cv[f"gact{gi}"]
+              * jnp.minimum(depth, 0.015) * (v_n < 0.05))
+    fn_mag = jnp.where(depth > 0.0, fn_raw, 0.0)
 
     vtx = vx - v_n * nx
     vty = vy - v_n * ny
     vtz = vz - v_n * nz
     mu = 0.5 * (mu_env + cc.mu_terrain)
-    met = cv[f"gmet{gi}"]
 
     if cc.warm_start and anchor is not None:
         from legged_gym_tpu.physics.contact import anchored_tangential
         f_t, new_anchor = anchored_tangential(
             cc, pos, fn_mag, mu, jnp.stack([vtx, vty, vtz]),
             jnp.stack([nx, ny, nz]), met, dt_in, anchor,
-            depth=depth - (1.0 - act) * 1e9)
+            depth=depth - (1.0 - cv[f"gact{gi}"]) * 1e9)
         f = jnp.stack([fn_mag * nx + f_t[0],
                        fn_mag * ny + f_t[1],
                        fn_mag * nz + f_t[2]])
@@ -515,6 +544,12 @@ def integrate_chain(cc: ChainConsts, cv, pos, quat, vel, q, qd, a0, qdd):
     inv = 1.0 / jnp.sqrt(jnp.sum(quat * quat, axis=0).clip(1e-18))
     quat = quat * inv[None]
     q = q + dt * qd
+    # hard-limit plastic projection (see integrator.integrate: the
+    # limit-spring catapult measured on aliengo)
+    lo, hi = cv["lower"], cv["upper"]
+    qd = jnp.where((q > hi) & (qd > 0.0), 0.0, qd)
+    qd = jnp.where((q < lo) & (qd < 0.0), 0.0, qd)
+    q = jnp.clip(q, lo, hi)
     return pos, quat, vel, q, qd
 
 
@@ -588,13 +623,13 @@ def _body_runs(g):
 
 def compute_plane(cc: ChainConsts, cv, fk, ph, pr0, pc0):
     """Sample the terrain under every contact point and return the local
-    contact planes in offset form: list per group of (c0, dhdx, dhdy)."""
+    contact planes: list per group of plane_consts() tuples."""
     plane = []
     for gi in range(len(cc.cm.groups)):
         ppos, _ = contact_points_group(cc, cv, fk, gi)
         x, y = ppos[0], ppos[1]
         h, dhdx, dhdy = sample_patch_plane(cc, cv, ph, pr0, pc0, x, y)
-        plane.append((h - dhdx * x - dhdy * y, dhdx, dhdy))
+        plane.append(plane_consts(cc, cv, gi, h, dhdx, dhdy, x, y))
     return plane
 
 
@@ -644,7 +679,7 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
                 x, y = ppos[0], ppos[1]
                 h, dhdx, dhdy = sample_patch_plane(cc, cv, ph, pr0, pc0,
                                                    x, y)
-                plane[gi] = (h - dhdx * x - dhdy * y, dhdx, dhdy)
+                plane[gi] = plane_consts(cc, cv, gi, h, dhdx, dhdy, x, y)
             if track_anchors:
                 f, anchors[gi] = contact_force_from_plane(
                     cc, cv, gi, plane[gi], ppos, pvel, mu_env,

@@ -39,6 +39,7 @@ class PointGroup:
     m_eff: np.ndarray          # (S, K) apparent mass (engine-provided)
     m_eff_t: np.ndarray        # (S, K) tangential (friction-cap) mass
     vmax: np.ndarray           # (S, K) per-point pushout-velocity cap
+    k_static: np.ndarray       # (S, K) one-way support-spring stiffness
     active: np.ndarray         # (S, K) bool
     cp_index: np.ndarray       # (S, K) original index into model.cp_* (-1
     #                            for inactive slots)
@@ -72,7 +73,8 @@ class ChainModel:
     n_bodies: int              # report bodies (contact-sensor rows)
 
 
-def build_chain_model(model, m_eff, m_eff_t=None, vmax=None) -> ChainModel:
+def build_chain_model(model, m_eff, m_eff_t=None, vmax=None,
+                      k_static=None) -> ChainModel:
     """Decompose `model` (RobotModel) into base + serial chains.
 
     m_eff: (P,) apparent contact masses (computed by the Engine; stored
@@ -138,6 +140,8 @@ def build_chain_model(model, m_eff, m_eff_t=None, vmax=None) -> ChainModel:
         m_eff_t = m_eff
     if vmax is None:
         vmax = np.full(P, 0.5)
+    if k_static is None:
+        k_static = np.zeros(P)
     groups = []
     # base group
     base_sel = np.nonzero(model.cp_link == 0)[0]
@@ -150,6 +154,7 @@ def build_chain_model(model, m_eff, m_eff_t=None, vmax=None) -> ChainModel:
             m_eff=np.asarray(m_eff)[base_sel][:, None].copy(),
             m_eff_t=np.asarray(m_eff_t)[base_sel][:, None].copy(),
             vmax=np.asarray(vmax)[base_sel][:, None].copy(),
+            k_static=np.asarray(k_static)[base_sel][:, None].copy(),
             active=np.ones((S, 1), bool),
             cp_index=base_sel[:, None].astype(np.int32),
             body=model.cp_body[base_sel][:, None].astype(np.int32)))
@@ -165,6 +170,7 @@ def build_chain_model(model, m_eff, m_eff_t=None, vmax=None) -> ChainModel:
         me = np.ones((S, K))
         met = np.ones((S, K))
         vmx = np.full((S, K), 0.5)
+        kst = np.zeros((S, K))
         act = np.zeros((S, K), bool)
         cpi = np.full((S, K), -1, np.int32)
         bod = np.zeros((S, K), np.int32)
@@ -175,11 +181,13 @@ def build_chain_model(model, m_eff, m_eff_t=None, vmax=None) -> ChainModel:
             me[:n, k] = np.asarray(m_eff)[pc]
             met[:n, k] = np.asarray(m_eff_t)[pc]
             vmx[:n, k] = np.asarray(vmax)[pc]
+            kst[:n, k] = np.asarray(k_static)[pc]
             act[:n, k] = True
             cpi[:n, k] = pc
             bod[:n, k] = model.cp_body[pc]
         groups.append(PointGroup(level=l, offs=offs, radius=radius,
                                  m_eff=me, m_eff_t=met, vmax=vmx,
+                                 k_static=kst,
                                  active=act, cp_index=cpi, body=bod))
 
     return ChainModel(

@@ -68,7 +68,7 @@ class ContactConfig:
 
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
                    dt=None, m_eff=None, m_eff_t=None, v_max=None,
-                   f_prev=None, patch=None):
+                   f_prev=None, patch=None, k_static=None):
     """Compute per-point world contact forces (stacked layout).
 
     Args:
@@ -105,6 +105,13 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
     v_n = vx * nx + vy * ny + vz * nz
     if cfg.implicit:
         me = jnp.asarray(m_eff, cp_pos.dtype)[:, None]          # (P, 1)
+        # direction-aware apparent mass (see chain_step.py:
+        # contact_force_from_plane) — the calibrated vertical mass
+        # over-corrects on tilted terrain normals (slope-landing
+        # restitution); harmonically blend toward the tangential mass
+        if m_eff_t is not None:
+            met_n = jnp.asarray(m_eff_t, cp_pos.dtype)[:, None]
+            me = 1.0 / (nz * nz / me + (1.0 - nz * nz) / met_n)
         # per-point cap (Engine.cp_vmax): static support force is
         # bounded by m_eff*vmax/dt, so the cap is raised per point to
         # carry its weight share (see calibrate_contact_mass)
@@ -112,6 +119,19 @@ def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
                 else jnp.asarray(v_max, cp_pos.dtype)[:, None])
         v_push = jnp.minimum(cfg.baumgarte * depth / dt, vmax)
         fn_raw = (me / dt) * jnp.maximum(v_push - v_n, 0.0)
+        if k_static is not None:
+            # ONE-WAY static-support spring (PhysX TGS position-
+            # correction analog, engine.calibrate_contact_mass): carries
+            # the standing load at mm depths but applies NO force while
+            # the point separates faster than 5 cm/s — stores no return
+            # energy, landings stay plastic (the r2 vmax-raise instead
+            # relaunched deep landings at ~1 m/s on aliengo)
+            # depth saturates at 15 mm: deep penetrations (landing
+            # overshoot, stepping into a stair face) resolve via the
+            # capped impulse term instead of a huge spring kick
+            ks = jnp.asarray(k_static, cp_pos.dtype)[:, None]
+            fn_raw = fn_raw + (ks * jnp.minimum(depth, 0.015)
+                               * (v_n < 0.05))
     else:
         fn_raw = jnp.maximum(
             cfg.stiffness * depth - cfg.damping * v_n, 0.0)

@@ -140,6 +140,9 @@ class Engine:
         # cap must be raised for points whose weight share exceeds it)
         self.cp_vmax = np.full(len(self.cp_m_eff),
                                sim.contact.max_pushout_vel)
+        # one-way static-support spring stiffness per point (sized by
+        # calibrate_contact_mass; zero = impulse-only law)
+        self.cp_k_static = np.zeros(len(self.cp_m_eff))
         # implicit joint-space diagonal: URDF damping + PD kd + dt*kp,
         # plus the armature floor (rotor-inertia regularization)
         self._imp_pd = (self.dt_inner
@@ -165,11 +168,17 @@ class Engine:
         and the reference's collision penalty fires continuously,
         zeroing the whole reward under only_positive_rewards).
 
-        Probe: one engine substep (PD holding q0, no contact) per
+        Probe: one engine substep (PD holding the pose, no contact) per
         collision point, with a unit world-z force at that point;
         m_app = F * dt / dv_z. Runs one tiny batched jit at construction
-        (batch = #points). `safety` keeps the estimate a lower bound
-        across configurations (the probe is at the default pose).
+        (batch = #points x #poses). The probe sweeps POSES q0 * s for
+        s in {1.0, 0.7, 1.3} and keeps the MINIMUM response mass: resets
+        draw q = q0 * U(0.5, 1.5) (legged_robot.py:399-413) and heavy
+        robots sag far from q0 under load, and an apparent mass measured
+        only at q0 overestimates in flexed poses — the stopping impulse
+        then over-corrects and bounces (measured on aliengo: 2.5 m/s
+        rebound from a 1.6 m/s landing). `safety` keeps the estimate a
+        lower bound between the probed poses.
 
         q0: (nq,) calibration joint positions (env default_dof_pos).
         inertia_params_fn: n -> nominal link-inertia pytree with batch n.
@@ -183,11 +192,13 @@ class Engine:
             contact_point_kinematics, forward_kinematics)
         from legged_gym_tpu.physics.state import PhysicsState
 
-        def probe():
+        POSE_SCALES = (1.0, 0.7, 1.3)
+
+        def probe_at(q_pose):
             n = 3 * P         # env (3k + a): unit force along axis a at
             dtype = jnp.float32   # point k
             q = jnp.broadcast_to(
-                jnp.asarray(q0, dtype)[:, None], (m.nq, n))
+                jnp.asarray(q_pose, dtype)[:, None], (m.nq, n))
             pos = jnp.zeros((3, n), dtype).at[2].set(100.0)  # airborne
             quat = jnp.broadcast_to(
                 jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype)[:, None], (4, n))
@@ -217,26 +228,39 @@ class Engine:
                             for a in range(3)])                # (3, P)
             return self.dt_inner / jnp.maximum(dv, 1e-9)
 
+        def probe():
+            qs = jnp.stack([jnp.asarray(q0, jnp.float32) * s
+                            for s in POSE_SCALES])
+            # clamp probe poses to the hard limits (aliengo's calf
+            # default sits 0.05 rad from its stop; 1.3x would violate)
+            qs = jnp.clip(qs, jnp.asarray(m.dof_lower, jnp.float32),
+                          jnp.asarray(m.dof_upper, jnp.float32))
+            return jnp.min(jax.vmap(probe_at)(qs), axis=0)
+
         m_num = np.asarray(jax.jit(probe)())                   # (3, P)
         self.cp_m_eff = np.maximum(self.cp_m_eff, safety * m_num[2])
         self.cp_m_eff_t = np.maximum(
             np.minimum(self.cp_m_eff_t, self.cp_m_eff),
             safety * np.minimum(m_num[0], m_num[1]))
-        # The capped pushout bounds each point's STATIC contact force at
-        # m_eff*vmax/dt. For heavy robots (ANYmal: ~127 N weight share
-        # per foot vs a ~100 N bound at vmax=0.5) the floor then cannot
-        # hold the robot: it sinks until shank/thigh points carry the
-        # load (measured 140 mm foot penetration, constant collision
-        # penalty, zero reward). Raise each point's cap so it can carry
-        # 1.2x a four-foot weight share (0.3*W). Sizing matters both
-        # ways: a cap much larger than the static need turns landings
-        # into a sustained bounce cycle (landing penetration -> pushout
-        # relaunch at ~vmax -> ballistic hop; observed on Aliengo with a
-        # 0.75*W cap), so keep it as low as static support allows.
+        # STATIC support: the impulse term alone bounds each point's
+        # static force at m_eff*vmax/dt, too weak for heavy robots
+        # (ANYmal: ~127 N weight share per foot vs ~100 N at vmax=0.5) —
+        # they sink until shank points drag (r2: 140 mm penetration,
+        # constant collision penalty, zero reward). r2 raised vmax per
+        # point instead, but a large velocity bias RELAUNCHES deep
+        # landings at ~vmax (aliengo: sustained 1 m/s ballistic hops —
+        # the collapse/convulsion cycle). PhysX avoids this by resolving
+        # penetration POSITIONALLY (TGS position iterations impart no
+        # kinetic energy; the velocity bias is capped separately by
+        # max_depenetration_velocity). Our analog: a ONE-WAY support
+        # spring (contact.py k_static) that carries the static load at
+        # millimeter depths but applies NO force while the point
+        # separates — it stores no return energy, so landings stay
+        # plastic and vmax stays at its small config value.
         W = self.model.total_mass * 9.81
-        self.cp_vmax = np.maximum(
-            self.sim.contact.max_pushout_vel,
-            0.3 * W * self.dt_inner / np.maximum(self.cp_m_eff, 1e-9))
+        self.cp_k_static = np.full(
+            P, 1.2 * 0.3 * W / 0.005)   # one point carries 1.2x a
+        #                                 four-foot share at 5 mm depth
 
     # ---- one inner substep ----
     def _substep(self, state, inertia_params, friction, tau_fn, implicit_d,
@@ -250,7 +274,8 @@ class Engine:
                                   dt=self.dt_inner, m_eff=self.cp_m_eff,
                                   m_eff_t=self.cp_m_eff_t,
                                   v_max=self.cp_vmax, f_prev=f_ws,
-                                  patch=patch)
+                                  patch=patch,
+                                  k_static=self.cp_k_static)
             # anchored-friction mode returns (forces, new anchors)
             f_pts, ws_out = out if isinstance(out, tuple) else (out, None)
             link_f, link_n = accumulate_link_wrenches(self.model, fk,
@@ -290,7 +315,13 @@ class Engine:
                                state.pos.dtype)[:, None]
         new_state = integrate(state, a0, qdd, self.dt_inner, qd_cap=vcap,
                               base_ang_cap=self.sim.max_base_ang_vel,
-                              base_lin_cap=self.sim.max_base_lin_vel)
+                              base_lin_cap=self.sim.max_base_lin_vel,
+                              q_lower=jnp.asarray(
+                                  self.model.dof_lower,
+                                  state.pos.dtype)[:, None],
+                              q_upper=jnp.asarray(
+                                  self.model.dof_upper,
+                                  state.pos.dtype)[:, None])
         return new_state, SimInfo(body_forces=body_forces, torques=tau), \
             ws_out
 

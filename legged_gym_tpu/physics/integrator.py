@@ -14,10 +14,19 @@ from legged_gym_tpu.physics.state import PhysicsState
 
 
 def integrate(state: PhysicsState, a_base, qdd, dt, qd_cap=None,
-              base_ang_cap=None, base_lin_cap=None) -> PhysicsState:
+              base_ang_cap=None, base_lin_cap=None, q_lower=None,
+              q_upper=None) -> PhysicsState:
     """Velocity caps are applied BEFORE the position update (PhysX
     maxJointVelocity / max_angular_velocity / max_linear_velocity
-    analogs — they also keep runaway states finite)."""
+    analogs — they also keep runaway states finite).
+
+    q_lower/q_upper: hard joint limits enforced as a PLASTIC projection
+    (PhysX treats URDF limits as hard constraints): q clamps to the
+    limit and the outward joint velocity zeroes. A finite limit SPRING
+    instead stores the impact energy and returns it — measured on
+    aliengo (default calf 0.054 rad from its stop): landings drove the
+    calf 0.28 rad past the limit and the spring catapulted the robot at
+    up to 2.5 m/s. Projection removes exactly the overshoot energy."""
     vel = state.vel + dt * a_base
     if base_ang_cap is not None:
         vel = vel.at[0:3].set(jnp.clip(vel[0:3], -base_ang_cap,
@@ -31,4 +40,9 @@ def integrate(state: PhysicsState, a_base, qdd, dt, qd_cap=None,
     pos = state.pos + dt * quat_ops.rotate(state.quat, vel[3:6])
     quat = quat_ops.integrate(state.quat, vel[0:3], dt)
     q = state.q + dt * qd
+    if q_lower is not None:
+        qc = jnp.clip(q, q_lower, q_upper)
+        qd = jnp.where((q > q_upper) & (qd > 0.0), 0.0, qd)
+        qd = jnp.where((q < q_lower) & (qd < 0.0), 0.0, qd)
+        q = qc
     return PhysicsState(pos=pos, quat=quat, vel=vel, q=q, qd=qd)

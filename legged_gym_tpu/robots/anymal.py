@@ -24,6 +24,13 @@ def anymal_c_rough():
     # returns the LSTM output), unlike go1/aliengo whose net output is
     # discarded — the global discard-quirk default must not silence it
     cfg.control.actuator_net_discard_output = False
+    # the SEA net's velocity-feedback (damping) component is an EXPLICIT
+    # torque here (PhysX absorbs applied-torque stiffness in its TGS
+    # iterations); at 5 ms it sits on the explicit-stability boundary
+    # for the light knee and rattles it at the velocity cap (measured
+    # |qd|~10 rad/s standing). 4 substeps puts the margin at 4x; the SEA
+    # net itself still advances once per sim dt (reference cadence).
+    cfg.sim.substeps = 4
 
     cfg.asset.file = "{ASSETS}/robots/anymal_c/urdf/anymal_c.urdf"
     cfg.asset.name = "anymal_c"
