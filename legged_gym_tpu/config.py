@@ -207,10 +207,16 @@ class SimCfg:
     # control path needs per-sim-dt torques (SEA / UniNet). Disable for
     # differentiable-physics use (gradient MPC) — the kernel has no VJP.
     use_chain_engine: bool = True
-    # warm-started static friction (contact.ContactConfig.warm_start):
-    # general-engine P path only; carries per-point tangential forces
-    # across substeps so loaded stances stick instead of creeping
+    # anchored static friction (contact.ContactConfig.warm_start):
+    # carries per-point tangential anchors across substeps so loaded
+    # stances stick instead of creeping; supported by both engines
     contact_warm_start: bool = False
+    # contact-plane cadence in the fused chain path: True = sample the
+    # terrain planes once per POLICY step (PhysX broadphase-ish, 4x
+    # fewer sampler instructions — the bench default), False = per sim
+    # dt (higher stair-edge fidelity for swing-foot landings: a foot
+    # moves up to ~8 cm per policy step and can land on a stale plane)
+    contact_plane_per_step: bool = True
 
 
 @dataclass

@@ -233,7 +233,9 @@ class LeggedEnv:
                 from legged_gym_tpu.physics.chain_engine import ChainEngine
                 self.chain_engine = ChainEngine(
                     self.engine, decimation=cfg.control.decimation,
-                    patch_S=self.contact_patch_S)
+                    patch_S=self.contact_patch_S,
+                    plane_per_step=getattr(cfg.sim,
+                                           "contact_plane_per_step", True))
                 self.chain_engine.bind_grid(self.grid)
             except Exception as e:  # noqa: BLE001 — loud, typed fallback
                 import logging

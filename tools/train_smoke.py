@@ -13,6 +13,8 @@ p.add_argument("--lr", type=float, default=None)
 p.add_argument("--schedule", type=str, default=None)
 p.add_argument("--entropy", type=float, default=None)
 p.add_argument("--rough", action="store_true")
+p.add_argument("--plane_per_dt", action="store_true",
+               help="sample contact planes per sim dt (stair fidelity)")
 args = p.parse_args()
 
 import jax
@@ -40,6 +42,8 @@ if args.rough:
     cfg.terrain.curriculum = True
     cfg.terrain.num_rows = 4
     cfg.terrain.num_cols = 4
+if args.plane_per_dt:
+    cfg.sim.contact_plane_per_step = False
 env, _ = registry.make_env(cfg=cfg)
 from legged_gym_tpu.rl.runner import PPORunner
 train_cfg.runner.save_interval = 10**9
