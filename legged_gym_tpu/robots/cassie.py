@@ -6,6 +6,10 @@ from legged_gym_tpu.config import LeggedRobotCfg, TrainCfg
 def cassie():
     cfg = LeggedRobotCfg()
     cfg.env.num_observations = 169
+    # reference cassie inherits the BASE terrain (trimesh + curriculum,
+    # legged_robot_config.py:45); its 169-dim obs = 48 + the 11x11 scan
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.measure_heights = True
     cfg.terrain.measured_points_x = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0,
                                      0.1, 0.2, 0.3, 0.4, 0.5]
     cfg.terrain.measured_points_y = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0,

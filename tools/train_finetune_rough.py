@@ -28,6 +28,12 @@ p.add_argument("--seed", type=int, default=1)
 p.add_argument("--run_name", type=str, default="rough_warmstart")
 p.add_argument("--trimesh", action="store_true")
 p.add_argument("--cpu", action="store_true")
+# gentle initial LR: the donor policy has a LOW action std (~0.4), so
+# the first updates at the default 6e-4 blow KL to ~100 and wreck the
+# grafted policy before the adaptive rule can react (measured: episode
+# length crashed 1001 -> 101 in one iteration). Start small; the
+# adaptive-KL rule raises it as the value function re-fits.
+p.add_argument("--lr", type=float, default=3e-5)
 args = p.parse_args()
 
 import jax  # noqa: E402
@@ -54,6 +60,7 @@ cfg.terrain.curriculum = True
 train_cfg.runner.max_iterations = args.iters
 train_cfg.runner.run_name = args.run_name
 train_cfg.runner.save_interval = 250
+train_cfg.algorithm.learning_rate = args.lr
 
 env, _ = registry.make_env(cfg=cfg, seed=args.seed)
 runner, train_cfg = registry.make_runner(env, train_cfg=train_cfg)

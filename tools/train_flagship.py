@@ -36,11 +36,16 @@ from legged_gym_tpu.utils import helpers  # noqa: E402
 helpers.set_seed(args.seed)
 cfg, train_cfg = registry.get_cfgs(args.task)
 cfg.env.num_envs = args.envs
-# rough-terrain flagship config (BASELINE.json config 2)
-cfg.env.num_observations = 235
-cfg.terrain.mesh_type = "trimesh" if args.trimesh else "heightfield"
-cfg.terrain.measure_heights = True
-cfg.terrain.curriculum = True
+if args.task == "go1":
+    # go1's registered config is the reference's FLAT recipe
+    # (go1_config.py:37-39); the flagship rough variant is BASELINE.json
+    # config 2 (heightfield + height scan + curricula)
+    cfg.env.num_observations = 235
+    cfg.terrain.mesh_type = "trimesh" if args.trimesh else "heightfield"
+    cfg.terrain.measure_heights = True
+    cfg.terrain.curriculum = True
+elif args.trimesh:
+    cfg.terrain.mesh_type = "trimesh"
 train_cfg.runner.max_iterations = args.iters
 train_cfg.runner.run_name = args.run_name
 train_cfg.runner.save_interval = 250
