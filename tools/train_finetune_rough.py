@@ -21,6 +21,7 @@ scale.
 import argparse
 
 p = argparse.ArgumentParser()
+p.add_argument("--task", type=str, default="go1")
 p.add_argument("--ckpt", type=str, required=True)
 p.add_argument("--envs", type=int, default=1800)
 p.add_argument("--iters", type=int, default=2000)
@@ -51,12 +52,16 @@ from legged_gym_tpu.rl.ppo import TrainState  # noqa: E402
 from legged_gym_tpu.utils import helpers  # noqa: E402
 
 helpers.set_seed(args.seed)
-cfg, train_cfg = registry.get_cfgs("go1")
+cfg, train_cfg = registry.get_cfgs(args.task)
 cfg.env.num_envs = args.envs
-cfg.env.num_observations = 235
-cfg.terrain.mesh_type = "trimesh" if args.trimesh else "heightfield"
-cfg.terrain.measure_heights = True
-cfg.terrain.curriculum = True
+if args.task == "go1":
+    # go1's registered config is the reference flat recipe; build the
+    # BASELINE rough variant. Other tasks (anymal_c_rough) keep their
+    # own registered rough config.
+    cfg.env.num_observations = 235
+    cfg.terrain.mesh_type = "trimesh" if args.trimesh else "heightfield"
+    cfg.terrain.measure_heights = True
+    cfg.terrain.curriculum = True
 train_cfg.runner.max_iterations = args.iters
 train_cfg.runner.run_name = args.run_name
 train_cfg.runner.save_interval = 250
