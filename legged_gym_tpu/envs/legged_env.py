@@ -641,7 +641,9 @@ class LeggedEnv:
             return None
         if self.chain_engine is not None:
             return self.chain_engine.init_anchors(n, self.dtype)
-        return jnp.zeros((3, len(self.model.cp_link), n), self.dtype)
+        from legged_gym_tpu.physics.contact import ANCHOR_SENTINEL
+        return jnp.full((3, len(self.model.cp_link), n), ANCHOR_SENTINEL,
+                        self.dtype)
 
     def reset(self, key):
         """(state, obs): global reset + one zero-action step (reference
@@ -1045,11 +1047,14 @@ class LeggedEnv:
             ], axis=0).T                                  # (N, P)
 
         if self._warm_start:
-            # fresh spawns start with no remembered stick anchors (zeros
-            # are stale by the anchor_stale2 rule -> re-snap on touch);
-            # env axis is last in every anchor layout
-            keep = (~done).astype(self.dtype)
-            contact_ws = jax.tree.map(lambda a: a * keep, contact_ws)
+            # fresh spawns start with no remembered stick anchors: reset
+            # to the far sentinel so the stale rule re-snaps on first
+            # touch wherever the env origin is (env axis is last in every
+            # anchor layout)
+            from legged_gym_tpu.physics.contact import ANCHOR_SENTINEL
+            contact_ws = jax.tree.map(
+                lambda a: jnp.where(done, jnp.asarray(
+                    ANCHOR_SENTINEL, a.dtype), a), contact_ws)
         else:
             contact_ws = None
         new_state = EnvState(

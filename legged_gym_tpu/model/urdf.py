@@ -141,12 +141,18 @@ def parse_urdf(path: str) -> Urdf:
             dont_collapse=(el.get("dont_collapse", "false").lower() == "true"),
         )
         limit = el.find("limit")
+        has_range = False
         if limit is not None:
+            # key the unlimited fallback on attribute ABSENCE, not on the
+            # parsed zeros: an explicit <limit lower="0" upper="0"/> is an
+            # intentionally locked joint and must stay [0, 0]
+            has_range = (limit.get("lower") is not None
+                         or limit.get("upper") is not None)
             j.lower = float(limit.get("lower", "0"))
             j.upper = float(limit.get("upper", "0"))
             j.effort = float(limit.get("effort", "0"))
             j.velocity = float(limit.get("velocity", "0"))
-        if j.kind == "continuous" or (j.lower == 0.0 and j.upper == 0.0):
+        if j.kind == "continuous" or not has_range:
             # no position range declared (ANYmal's URDF: <limit effort
             # velocity/> only) = unlimited, matching Isaac's importer
             # (hasLimits=false -> +-inf DOF props; the reference's

@@ -57,10 +57,19 @@ class SamplingMPC:
 
     # ---- rollout cost (pure) ----
     def rollout_cost(self, phys0, link_params, friction, commands, seqs,
-                     contact_patch=None):
+                     contact_patch=None, anchors=None):
         """seqs: (H, na, K) action sequences; phys0 batched over K.
         Returns (K,) total cost. No resets: bad candidates accumulate the
         termination-contact penalty instead of teleporting.
+
+        anchors: optional static-friction anchor carry (init_anchors
+        layout, batched over K) for warm-start robots
+        (cfg.sim.contact_warm_start) — without it the planner's internal
+        model would use the creeping regularized-friction dynamics the
+        anchors were introduced to fix, a plan/execute model mismatch on
+        exactly the robots that need them (aliengo). Threaded through the
+        horizon scan; the final carry is discarded (plans don't mutate
+        the env).
 
         contact_patch: optional pre-extracted (ph (S,S,K), r0, c0)
         terrain window shared by every step of the horizon — all K
@@ -80,12 +89,20 @@ class SamplingMPC:
         # through the rollout, so it uses the (differentiable) chain twin
         use_pallas = (use_chain and not self.differentiable
                       and jax.default_backend() != "cpu")
+        track_ws = (use_chain and anchors is not None
+                    and env.chain_engine.cc.warm_start)
 
         def step(carry, a):
-            phys, cost = carry
+            phys, cost, anc = carry
             targets = jnp.clip(a * env.cfg.control.action_scale + dflt,
                                lo, hi)
-            if use_chain:
+            if track_ws:
+                phys, _tau, contact_f, anc = \
+                    env.chain_engine.step_decimation_pos(
+                        phys, link_params, friction, targets,
+                        use_pallas=use_pallas,
+                        contact_patch=contact_patch, anchors=anc)
+            elif use_chain:
                 phys, _tau, contact_f = \
                     env.chain_engine.step_decimation_pos(
                         phys, link_params, friction, targets,
@@ -128,11 +145,13 @@ class SamplingMPC:
                 bad = jnp.any(jnp.linalg.norm(
                     contact_f[:, term_idx], axis=0) > 1.0, axis=0)
                 c = c + self.cfg.termination_cost * bad * env.dt
-            return (phys, cost + c), None
+            return (phys, cost + c, anc), None
 
         k = seqs.shape[-1]
         cost0 = jnp.zeros(k, jnp.float32)
-        (phys, cost), _ = jax.lax.scan(step, (phys0, cost0), seqs)
+        anc0 = anchors if track_ws else None
+        (phys, cost, _anc), _ = jax.lax.scan(
+            step, (phys0, cost0, anc0), seqs)
         return cost
 
     def _shared_patch(self, phys_single, k):
@@ -147,11 +166,25 @@ class SamplingMPC:
         return (jnp.broadcast_to(ph, ph.shape[:-1] + (k,)),
                 jnp.broadcast_to(r0, (k,)), jnp.broadcast_to(c0, (k,)))
 
+    def _anchors_k(self, anchors, k):
+        """Broadcast an N=1 anchor carry (the env's CURRENT anchors, so
+        the plan starts from the executed stance's stick state) over the
+        K candidates; fresh sentinel anchors when none are supplied."""
+        env = self.env
+        ce = getattr(env, "chain_engine", None)
+        if ce is None or not ce.cc.warm_start:
+            return None
+        if anchors is None:
+            return ce.init_anchors(k)
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, a.shape[:-1] + (k,)), anchors)
+
     # ---- planners ----
     def plan(self, key, phys_single, link_params, friction, commands,
-             nominal=None):
+             nominal=None, anchors=None):
         """One MPC solve for a single robot state (N=1 slices of env
-        state). Returns (action_seq (H, na), info dict)."""
+        state; anchors: the matching N=1 slice of EnvState.contact_ws
+        for warm-start robots). Returns (action_seq (H, na), info)."""
         cfg = self.cfg
         h, na, k = cfg.horizon, self.env.num_actions, cfg.num_samples
         if nominal is None:
@@ -161,12 +194,13 @@ class SamplingMPC:
                                 link_params.shape[:-1] + (k,))
         fr_k = jnp.broadcast_to(friction, (k,))
         cpatch = self._shared_patch(phys_single, k)
+        anc_k = self._anchors_k(anchors, k)
 
         if self.method == "mppi":
             noise = (jax.random.normal(key, (h, na, k)) * cfg.noise_std)
             seqs = nominal[:, :, None] + noise
             cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs,
-                                     contact_patch=cpatch)
+                                     contact_patch=cpatch, anchors=anc_k)
             w = jax.nn.softmax(-cost / cfg.temperature)     # (K,)
             new_seq = jnp.sum(seqs * w[None, None, :], axis=-1)
             return new_seq, {"cost": jnp.sum(cost * w),
@@ -180,7 +214,7 @@ class SamplingMPC:
             noise = jax.random.normal(key_i, (h, na, k))
             seqs = mean[:, :, None] + std[:, :, None] * noise
             cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs,
-                                     contact_patch=cpatch)
+                                     contact_patch=cpatch, anchors=anc_k)
             _, elite_idx = jax.lax.top_k(-cost, n_elite)
             elite = seqs[:, :, elite_idx]
             mean = elite.mean(axis=-1)
@@ -201,7 +235,7 @@ class GradientMPC(SamplingMPC):
     differentiable = True
 
     def plan(self, key, phys_single, link_params, friction, commands,
-             nominal=None):
+             nominal=None, anchors=None):
         cfg = self.cfg
         h, na = cfg.horizon, self.env.num_actions
         if nominal is None:
@@ -210,11 +244,13 @@ class GradientMPC(SamplingMPC):
         lp = link_params
         fr = friction
         cpatch = self._shared_patch(phys_single, 1)
+        anc1 = self._anchors_k(anchors, 1)
 
         def total_cost(seq):
             return self.rollout_cost(phys1, lp, fr, commands,
                                      seq[:, :, None],
-                                     contact_patch=cpatch)[0]
+                                     contact_patch=cpatch,
+                                     anchors=anc1)[0]
 
         grad_fn = jax.value_and_grad(total_cost)
 

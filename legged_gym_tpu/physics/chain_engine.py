@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legged_gym_tpu.physics import chain_step
+from legged_gym_tpu.physics.contact import ANCHOR_SENTINEL
 from legged_gym_tpu.physics.chains import (NotChainStructured,
                                            build_chain_model)
 from legged_gym_tpu.physics.state import PhysicsState
@@ -159,14 +160,17 @@ class ChainEngine:
     # ------------------------------------------------------- public step
 
     def init_anchors(self, n, dtype=jnp.float32):
-        """Zeroed static-friction anchors, one (3, S, K, N) array per
-        point group (zeros are >10 cm from any real contact, so the
-        stale rule re-snaps them on first touch). None when the contact
+        """Far-sentinel static-friction anchors, one (3, S, K, N) array
+        per point group. The 1e6 sentinel is > sqrt(anchor_stale2) from
+        ANY reachable contact point, so the stale rule re-snaps on first
+        touch regardless of where the robot spawns (zeros would be
+        adopted as valid by a foot touching down within 10 cm of the
+        world origin and pull it toward (0,0,0)). None when the contact
         law runs without warm start."""
         if not self.cc.warm_start:
             return None
-        return [jnp.zeros((3,) + g.offs.shape[:2] + (n,), dtype)
-                for g in self.cm.groups]
+        return [jnp.full((3,) + g.offs.shape[:2] + (n,), ANCHOR_SENTINEL,
+                         dtype) for g in self.cm.groups]
 
     def step_decimation_pos(self, state: PhysicsState, link_params,
                             friction, targets, use_pallas=False,

@@ -66,6 +66,13 @@ class ContactConfig:
     anchor_stale2: float = 0.01        # [m^2] snap anchors further than this
 
 
+# Fresh/reset anchor value: farther than sqrt(anchor_stale2) from any
+# reachable contact point, so the stale rule re-snaps on first touch no
+# matter where the robot spawns (a zero anchor is VALID for a foot within
+# 10 cm of the world origin and would drag it toward (0,0,0)).
+ANCHOR_SENTINEL = 1e6
+
+
 def contact_forces(model, grid, cfg, cp_pos, cp_vel, friction,
                    dt=None, m_eff=None, m_eff_t=None, v_max=None,
                    f_prev=None, patch=None, k_static=None):
