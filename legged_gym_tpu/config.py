@@ -211,6 +211,10 @@ class SimCfg:
     # carries per-point tangential anchors across substeps so loaded
     # stances stick instead of creeping; supported by both engines
     contact_warm_start: bool = False
+    # geometric anchor-release clearance [m]: anchors survive hops up to
+    # this height (heavy robots rebound harder at spawn — widen it so
+    # landing micro-hops don't re-snap anchors at displaced positions)
+    contact_anchor_release_depth: float = 0.005
     # contact-plane cadence in the fused chain path: True = sample the
     # terrain planes once per POLICY step (PhysX broadphase-ish, 4x
     # fewer sampler instructions — the bench default), False = per sim

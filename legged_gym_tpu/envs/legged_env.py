@@ -203,26 +203,36 @@ class LeggedEnv:
         # --- engine ---
         self._warm_start = bool(getattr(cfg.sim, "contact_warm_start",
                                         False))
-        if self._warm_start and cfg.control.control_type != "P":
-            raise NotImplementedError(
-                "contact_warm_start is wired for the P drive path only")
         simcfg = SimConfig(
             dt=cfg.sim.dt, substeps=cfg.sim.substeps,
             gravity=tuple(cfg.sim.gravity),
             contact=dataclasses.replace(
                 self._default_contact(),
                 warm_start=self._warm_start,
+                anchor_release_depth=getattr(
+                    cfg.sim, "contact_anchor_release_depth", 0.005),
                 terrain_friction=cfg.terrain.static_friction))
         self.engine = Engine(self.model, simcfg, grid=self.grid,
                              kp=self.p_gains, kd=self.d_gains,
                              fixed_base=cfg.asset.fix_base_link)
         # numeric apparent-mass probe at the default pose: the implicit
-        # contact law needs the true step-response mass (servo impedance
-        # included) or it is many times too soft (15 mm standing
-        # penetration observed with the analytic bound alone)
+        # contact law needs the true step-response mass — WITH the
+        # implicit PD servo impedance for position-drive robots (else it
+        # is many times too soft: 15 mm standing penetration observed),
+        # WITHOUT it for torque-drive robots (SEA nets, V/T modes run
+        # step_torques with passive impedance; probing with the servo
+        # overestimates the mass and the over-corrected stopping impulse
+        # micro-bounces the stance — measured on anymal)
+        _sea_drive = (cfg.control.use_actuator_network
+                      and not cfg.control.actuator_net_discard_output
+                      and "lstm" in os.path.basename(
+                          cfg.control.actuator_net_file))
+        drive_kind = ("torque" if _sea_drive
+                      or cfg.control.control_type in ("V", "T") else "pd")
         self.engine.calibrate_contact_mass(
             self.default_dof_pos,
-            lambda n: broadcast_nominal(self.model, n, jnp.float32))
+            lambda n: broadcast_nominal(self.model, n, jnp.float32),
+            drive=drive_kind)
 
         # fused chain-layout fast path (physics/chain_engine.py): Pallas
         # mega-kernel on TPU, plain-XLA twin on CPU. Supports the
@@ -312,11 +322,13 @@ class LeggedEnv:
             else:
                 from legged_gym_tpu.actuators.uninet import UniNet
                 self._uninet = UniNet(net_file)
-        if self._warm_start and (self._sea is not None
-                                 or self._uninet is not None):
-            raise NotImplementedError(
-                "contact_warm_start is wired for the plain-PD P path "
-                "only (actuator-net branches do not carry the anchors)")
+        # which step() branch runs the physics decides the anchor-carry
+        # LAYOUT: the fused chain path takes per-group (3,S,K,N) arrays,
+        # every general-engine branch (SEA/UniNet torque drives, V/T,
+        # stacked-P) takes one stacked (3,P,N) array
+        self._chain_path = (self.chain_engine is not None
+                            and self._sea is None and self._uninet is None
+                            and cfg.control.control_type == "P")
 
         self.dtype = jnp.float32
 
@@ -639,7 +651,7 @@ class LeggedEnv:
         warm start is off."""
         if not self._warm_start:
             return None
-        if self.chain_engine is not None:
+        if self._chain_path:
             return self.chain_engine.init_anchors(n, self.dtype)
         from legged_gym_tpu.physics.contact import ANCHOR_SENTINEL
         return jnp.full((3, len(self.model.cp_link), n), ANCHOR_SENTINEL,
@@ -699,11 +711,16 @@ class LeggedEnv:
         dflt = jnp.asarray(self.default_dof_pos, self.dtype)[:, None]
         if self._sea is not None:
             # SEA torque drive (anymal.py:71-81): net input per sim dt =
-            # (pos target - q, qd); LSTM state advances per sim dt
+            # (pos target - q, qd); LSTM state advances per sim dt. The
+            # static-friction anchor carry rides the decimation scan when
+            # contact_warm_start is on (ANYmal's 80 N*m/rad drive cannot
+            # hold its 52 kg stance against regularized-friction creep:
+            # feet slide out, HAA splays ~0.3 rad, shanks ground and the
+            # collision penalty zero-clips every reward).
             targets = a * cfg.control.action_scale + dflt
 
             def sim_body(carry, _):
-                phys, act = carry
+                phys, act, ws = carry
                 pos_err = (targets - phys.q).reshape(nq * n)
                 tau, (h, c) = self._sea(
                     pos_err, phys.qd.reshape(nq * n),
@@ -711,14 +728,20 @@ class LeggedEnv:
                      act["c"].reshape(2, -1, nq * n)))
                 act = {"h": h.reshape(act["h"].shape),
                        "c": c.reshape(act["c"].shape)}
-                phys, info = self.engine.step_torques(
-                    phys, state.link_params, state.friction,
-                    tau.reshape(nq, n), patch=patch)
-                return (phys, act), info
+                if self._warm_start:
+                    phys, info, ws = self.engine.step_torques(
+                        phys, state.link_params, state.friction,
+                        tau.reshape(nq, n), patch=patch, f_ws=ws)
+                else:
+                    phys, info = self.engine.step_torques(
+                        phys, state.link_params, state.friction,
+                        tau.reshape(nq, n), patch=patch)
+                return (phys, act, ws), info
 
-            (physics, actuator_state), infos = jax.lax.scan(
-                sim_body, (state.physics, state.actuator_state), None,
-                length=cfg.control.decimation)
+            (physics, actuator_state, contact_ws), infos = jax.lax.scan(
+                sim_body,
+                (state.physics, state.actuator_state, state.contact_ws),
+                None, length=cfg.control.decimation)
         elif ctrl == "P":
             targets = jnp.clip(
                 a * cfg.control.action_scale + dflt,
@@ -734,18 +757,25 @@ class LeggedEnv:
                 lim = jnp.asarray(self.torque_limit, self.dtype)[:, None]
 
                 def sim_body(carry, _):
-                    phys, act = carry
+                    phys, act, ws = carry
                     dvel, act = self._uninet(targets, phys.q, phys.qd, act)
                     tau = jnp.clip(kp * (targets - phys.q)
                                    - kd * (phys.qd - dvel), -lim, lim)
-                    phys, info = self.engine.step_torques(
-                        phys, state.link_params, state.friction, tau,
-                        patch=patch)
-                    return (phys, act), info
+                    if self._warm_start:
+                        phys, info, ws = self.engine.step_torques(
+                            phys, state.link_params, state.friction, tau,
+                            patch=patch, f_ws=ws)
+                    else:
+                        phys, info = self.engine.step_torques(
+                            phys, state.link_params, state.friction, tau,
+                            patch=patch)
+                    return (phys, act, ws), info
 
-                (physics, actuator_state), infos = jax.lax.scan(
-                    sim_body, (state.physics, state.actuator_state), None,
-                    length=cfg.control.decimation)
+                (physics, actuator_state, contact_ws), infos = \
+                    jax.lax.scan(
+                        sim_body, (state.physics, state.actuator_state,
+                                   state.contact_ws),
+                        None, length=cfg.control.decimation)
             elif self.chain_engine is not None:
                 # fused chain path: the whole decimation loop is one
                 # program (Pallas mega-kernel on TPU)
@@ -796,28 +826,42 @@ class LeggedEnv:
             kd = jnp.asarray(self.d_gains, self.dtype)[:, None]
             qd_last = state.physics.qd
 
-            def sim_body(phys, _):
+            def sim_body(carry, _):
+                phys, ws = carry
                 tau = (kp * (vel_t - phys.qd)
                        - kd * (phys.qd - qd_last) / cfg.sim.dt)
-                phys, info = self.engine.step_torques(
-                    phys, state.link_params, state.friction, tau,
-                    patch=patch)
-                return phys, info
+                if self._warm_start:
+                    phys, info, ws = self.engine.step_torques(
+                        phys, state.link_params, state.friction, tau,
+                        patch=patch, f_ws=ws)
+                else:
+                    phys, info = self.engine.step_torques(
+                        phys, state.link_params, state.friction, tau,
+                        patch=patch)
+                return (phys, ws), info
 
-            physics, infos = jax.lax.scan(sim_body, state.physics, None,
-                                          length=cfg.control.decimation)
+            (physics, contact_ws), infos = jax.lax.scan(
+                sim_body, (state.physics, state.contact_ws), None,
+                length=cfg.control.decimation)
             actuator_state = state.actuator_state
         elif ctrl == "T":
             tau = a * cfg.control.action_scale
 
-            def sim_body(phys, _):
-                phys, info = self.engine.step_torques(
-                    phys, state.link_params, state.friction, tau,
-                    patch=patch)
-                return phys, info
+            def sim_body(carry, _):
+                phys, ws = carry
+                if self._warm_start:
+                    phys, info, ws = self.engine.step_torques(
+                        phys, state.link_params, state.friction, tau,
+                        patch=patch, f_ws=ws)
+                else:
+                    phys, info = self.engine.step_torques(
+                        phys, state.link_params, state.friction, tau,
+                        patch=patch)
+                return (phys, ws), info
 
-            physics, infos = jax.lax.scan(sim_body, state.physics, None,
-                                          length=cfg.control.decimation)
+            (physics, contact_ws), infos = jax.lax.scan(
+                sim_body, (state.physics, state.contact_ws), None,
+                length=cfg.control.decimation)
             actuator_state = state.actuator_state
         else:
             raise NotImplementedError(f"control_type {ctrl}")

@@ -174,7 +174,10 @@ class SamplingMPC:
         ce = getattr(env, "chain_engine", None)
         if ce is None or not ce.cc.warm_start:
             return None
-        if anchors is None:
+        if anchors is None or not isinstance(anchors, (list, tuple)):
+            # no carry supplied, or the env stepped a general-engine
+            # branch (stacked (3,P,N) layout — SEA/UniNet robots): the
+            # chain rollout needs the per-group layout, start fresh
             return ce.init_anchors(k)
         return jax.tree.map(
             lambda a: jnp.broadcast_to(a, a.shape[:-1] + (k,)), anchors)

@@ -83,7 +83,8 @@ class ChainEngine:
             warm_start=sim.contact.warm_start,
             anchor_beta=sim.contact.anchor_beta,
             anchor_vmax=sim.contact.anchor_vmax,
-            anchor_stale2=sim.contact.anchor_stale2)
+            anchor_stale2=sim.contact.anchor_stale2,
+            anchor_release_depth=sim.contact.anchor_release_depth)
 
         # joint-order <-> level-layout one-hot matrices (no gathers)
         M = np.zeros((L * K, nq), np.float32)

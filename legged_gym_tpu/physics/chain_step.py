@@ -78,6 +78,7 @@ class ChainConsts:
     anchor_beta: float = 0.5
     anchor_vmax: float = 1.0
     anchor_stale2: float = 0.01
+    anchor_release_depth: float = 0.005
 
 
 def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:

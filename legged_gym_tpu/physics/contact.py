@@ -64,6 +64,11 @@ class ContactConfig:
     anchor_beta: float = 0.5           # offset-correction gain per substep
     anchor_vmax: float = 1.0           # [m/s] cap on the anchor pull
     anchor_stale2: float = 0.01        # [m^2] snap anchors further than this
+    # geometric anchor release: the anchor survives while the point stays
+    # within this clearance of the surface, so landing micro-hops do not
+    # re-snap it at a displaced position (each re-snap ratchets a loaded
+    # stance outward). Heavy robots rebound harder at spawn — widen it.
+    anchor_release_depth: float = 0.005   # [m]
 
 
 # Fresh/reset anchor value: farther than sqrt(anchor_stale2) from any
@@ -221,7 +226,8 @@ def anchored_tangential(cfg, cp_pos, fn_mag, mu, vt_vec, n_vec, m_t, dt,
     dxa = cp_pos[0] - anchor[0]
     dya = cp_pos[1] - anchor[1]
     dza = cp_pos[2] - anchor[2]
-    near = (fn_mag > 0.0) if depth is None else (depth > -0.005)
+    near = ((fn_mag > 0.0) if depth is None
+            else (depth > -cfg.anchor_release_depth))
     stale = (dxa * dxa + dya * dya + dza * dza) > cfg.anchor_stale2
     fresh = (~near) | stale
     dxa = jnp.where(fresh, 0.0, dxa)
@@ -243,9 +249,17 @@ def anchored_tangential(cfg, cp_pos, fn_mag, mu, vt_vec, n_vec, m_t, dt,
     scale = jnp.minimum(1.0, mu * fn_mag / ft_mag)
     f_t = jnp.stack([ftx * scale, fty * scale, ftz * scale])
     # new anchor: sliding (scale < 1) drags it so the remembered offset
-    # stays consistent with the clipped force; sticking keeps it
+    # stays consistent with the clipped force; sticking keeps it. While
+    # the point is UNLOADED but still geometrically near (fn flickers to
+    # zero during stance micro-bounces), keep the remembered anchor
+    # untouched: the cone scale is ~0 then, and dragging the anchor to
+    # cp_pos each flicker erases the offset — the ratchet that walks a
+    # bouncing stance outward ~1 cm per flicker (measured on anymal).
     off = jnp.stack([dxa, dya, dza]) * scale[None]
-    new_anchor = jnp.where(fresh[None], cp_pos, cp_pos - off)
+    loaded = fn_mag > 1e-3
+    new_anchor = jnp.where(
+        fresh[None], cp_pos,
+        jnp.where(loaded[None], cp_pos - off, anchor))
     return f_t, new_anchor
 
 

@@ -155,9 +155,19 @@ class Engine:
         self._has_joint_damping = bool(np.any(model.dof_damping != 0.0))
 
     def calibrate_contact_mass(self, q0, inertia_params_fn,
-                               safety=0.7):
+                               safety=0.7, drive="pd"):
         """Replace the analytic apparent-mass LOWER bound with a numeric
         probe of the true step-response mass at every collision point.
+
+        drive: which joint impedance the probe includes — "pd" for
+        position-drive robots (step_pos_targets: the implicit servo
+        dt*(kd+dt*kp) dominates the response) or "torque" for robots
+        stepped through step_torques (SEA / actuator-net / V / T drives):
+        those run with the PASSIVE impedance only, and probing with the
+        PD impedance overestimates the apparent mass ~up to the servo
+        ratio — the stopping impulse then over-corrects every substep and
+        the stance micro-bounces (measured on anymal: foot force
+        flickering 0<->350 N at ~3-step period, anchors ratcheting).
 
         The analytic bound (above) ignores the implicit PD servo
         impedance dt*(kd + dt*kp) + armature, which at 5 ms dominates the
@@ -214,7 +224,9 @@ class Engine:
             ax = jnp.repeat(jnp.eye(3, dtype=dtype), P, axis=1)  # (3, 3P)
             f_pts = ax[:, None, :] * pt[None]                  # (3, P, 3P)
             link_f, link_n = accumulate_link_wrenches(m, fk, cp_pos, f_pts)
-            implicit_d = jnp.asarray(self._imp_pd, dtype)
+            implicit_d = jnp.asarray(
+                self._imp_pd if drive == "pd" else self._imp_passive,
+                dtype)
             a0, qdd = aba(m, params, fk, phys.qd, tau, f_ext_w=link_f,
                           n_ext_w=link_n, gravity=(0.0, 0.0, 0.0),
                           fixed_base=self.fixed_base,

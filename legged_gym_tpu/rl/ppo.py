@@ -61,11 +61,14 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
     With a recurrent policy (policy_cfg.rnn_type, rsl_rl's
     ActorCriticRecurrent), the carried ``obs`` is the pack
     (obs[, privileged_obs], memory) where memory holds the actor/critic
-    LSTM carries ({'a','c'}, (N, L, 2, h)); hidden states reset on done
-    and the pre-step carries are STORED per rollout step, so the
-    minibatch recompute replays each step from its recorded memory
-    (stored-state truncated BPTT — rsl_rl masks padded trajectories
-    instead; same PPO math, different gradient truncation)."""
+    LSTM carries ({'a','c'}, (N, L, 2, h)); hidden states reset on done.
+    The update trains on full trajectory segments: minibatches split the
+    ENV axis, and the loss re-scans the LSTM over all ``num_steps`` of
+    the window from the stored window-start carry, resetting the carry
+    at dones — BPTT through the whole rollout window, the same gradient
+    rsl_rl's recurrent generator computes with padded trajectories (its
+    saved_hidden_states seed each segment; segment boundaries = rollout
+    window boundaries here since T is the rollout length)."""
     act = nets.activation_fn(policy_cfg.activation)
     tx = make_optimizer(alg_cfg)
     n_mb = alg_cfg.num_mini_batches
@@ -83,6 +86,11 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             obs, memory = obs
         else:
             memory = None
+        # pre-rollout LSTM carries: the update re-scans each minibatch's
+        # trajectory window from these (per env), so gradients flow
+        # through the full T steps (truncated only at the window start,
+        # as in rsl_rl where saved_hidden_states seed each segment)
+        mem_roll_start = memory
 
         def policy_step(carry, _):
             env_state, obs_pack, memory, key = carry
@@ -90,7 +98,6 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             cobs = obs_pack[1] if asym else obs_pack
             key, k_act = jax.random.split(key)
             if recurrent:
-                mem0 = memory
                 mean, mem_a = nets.actor_mean_rnn(ts.params, obs, act,
                                                   memory["a"])
                 std = jnp.broadcast_to(ts.params["std"], mean.shape)
@@ -114,11 +121,10 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
             if asym:
                 data["cobs"] = cobs
             if recurrent:
-                # store the PRE-step carries for the update recompute;
                 # zero the carried state of envs that finished (rsl_rl
-                # resets hidden states on dones)
-                data["mem_a"] = mem0["a"]
-                data["mem_c"] = mem0["c"]
+                # resets hidden states on dones); the update re-scans the
+                # window from mem_roll_start, so per-step carries need
+                # not be stored
                 keep = (~tr.done).astype(mem_a.dtype)[:, None, None, None]
                 memory = {"a": mem_a * keep, "c": mem_c * keep}
             new_pack = ((tr.obs, tr.privileged_obs) if asym else tr.obs)
@@ -155,37 +161,68 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
         adv_norm = ((advantages - advantages.mean())
                     / (advantages.std() + 1e-8))
 
-        # --- flatten (T, N, ...) -> (T*N, ...) and permute once ---
-        tn = reward.shape[0] * reward.shape[1]
-        flat = {
-            "obs": batch["obs"].reshape(tn, -1),
-            "action": batch["action"].reshape(tn, -1),
-            "logp": batch["logp"].reshape(tn),
-            "mean": batch["mean"].reshape(tn, -1),
-            "std": batch["std"].reshape(tn, -1),
-            "value": batch["value"].reshape(tn),
-            "returns": returns.reshape(tn),
-            "adv": adv_norm.reshape(tn),
-        }
-        if asym:
-            flat["cobs"] = batch["cobs"].reshape(tn, -1)
+        # --- minibatching ---
+        # MLP policy: flatten (T, N, ...) -> (T*N, ...) and permute once.
+        # Recurrent policy: minibatches split the ENV axis and keep the
+        # window time-major (T, N_mb, ...), so the loss can re-scan the
+        # LSTM over the whole trajectory segment (rsl_rl's recurrent
+        # generator trains on whole trajectories; per-sample recompute
+        # from a stored carry would truncate BPTT to one step).
+        t_len, n_env = reward.shape
         if recurrent:
-            flat["mem_a"] = batch["mem_a"].reshape(
-                (tn,) + batch["mem_a"].shape[2:])
-            flat["mem_c"] = batch["mem_c"].reshape(
-                (tn,) + batch["mem_c"].shape[2:])
-        mb_size = tn // n_mb
-        perm = jax.random.permutation(k_perm, tn)[: mb_size * n_mb]
+            flat = {
+                "obs": batch["obs"],
+                "action": batch["action"],
+                "logp": batch["logp"],
+                "mean": batch["mean"],
+                "std": batch["std"],
+                "value": batch["value"],
+                "returns": returns,
+                "adv": adv_norm,
+                "done": batch["done"].astype(reward.dtype),
+            }
+            if asym:
+                flat["cobs"] = batch["cobs"]
+            mb_size = n_env // n_mb
+            perm = jax.random.permutation(k_perm, n_env)[: mb_size * n_mb]
+        else:
+            tn = t_len * n_env
+            flat = {
+                "obs": batch["obs"].reshape(tn, -1),
+                "action": batch["action"].reshape(tn, -1),
+                "logp": batch["logp"].reshape(tn),
+                "mean": batch["mean"].reshape(tn, -1),
+                "std": batch["std"].reshape(tn, -1),
+                "value": batch["value"].reshape(tn),
+                "returns": returns.reshape(tn),
+                "adv": adv_norm.reshape(tn),
+            }
+            if asym:
+                flat["cobs"] = batch["cobs"].reshape(tn, -1)
+            mb_size = tn // n_mb
+            perm = jax.random.permutation(k_perm, tn)[: mb_size * n_mb]
         mb_idx = perm.reshape(n_mb, mb_size)
         mb_idx = jnp.tile(mb_idx, (n_ep, 1))          # epochs reuse perm
 
         def loss_fn(params, mb):
             if recurrent:
-                mean, _ = nets.actor_mean_rnn(params, mb["obs"], act,
-                                              mb["mem_a"])
-                value, _ = nets.critic_value_rnn(
-                    params, mb["cobs"] if asym else mb["obs"], act,
-                    mb["mem_c"])
+                # scan the LSTM over the T-step window from the stored
+                # window-start carry, resetting at dones exactly as the
+                # rollout did -> full-window BPTT
+                def time_step(carry, x):
+                    ma, mc = carry
+                    mean_t, ma = nets.actor_mean_rnn(params, x["obs"],
+                                                     act, ma)
+                    value_t, mc = nets.critic_value_rnn(
+                        params, x["cobs"] if asym else x["obs"], act, mc)
+                    keep = (1.0 - x["done"])[:, None, None, None]
+                    return (ma * keep, mc * keep), (mean_t, value_t)
+
+                xs = {"obs": mb["obs"], "done": mb["done"]}
+                if asym:
+                    xs["cobs"] = mb["cobs"]
+                _, (mean, value) = jax.lax.scan(
+                    time_step, (mb["mem_a0"], mb["mem_c0"]), xs)
             else:
                 mean = nets.actor_mean(params, mb["obs"], act)
                 value = nets.critic_value(
@@ -217,7 +254,14 @@ def make_learn_fn(env, policy_cfg, alg_cfg, num_steps):
 
         def mb_step(carry, idx):
             params, opt_state, lr = carry
-            mb = {k: v[idx] for k, v in flat.items()}
+            if recurrent:
+                # env-axis gather: time-major windows + window-start
+                # carries for the selected envs
+                mb = {k: v[:, idx] for k, v in flat.items()}
+                mb["mem_a0"] = mem_roll_start["a"][idx]
+                mb["mem_c0"] = mem_roll_start["c"][idx]
+            else:
+                mb = {k: v[idx] for k, v in flat.items()}
 
             (loss, (s_loss, v_loss, kl)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, mb)

@@ -31,6 +31,16 @@ def anymal_c_rough():
     # |qd|~10 rad/s standing). 4 substeps puts the margin at 4x; the SEA
     # net itself still advances once per sim dt (reference cadence).
     cfg.sim.substeps = 4
+    # anchored static friction: the ~87 N*m/rad SEA drive cannot hold the
+    # 52 kg stance against regularized-friction creep — feet slide out
+    # (foot x 0.46 -> 0.71 m measured), HAA splays ~0.3 rad, the shanks
+    # ground and the collision penalty zero-clips every reward, which is
+    # why r3's anymal runs flatlined at tracking ~0.03. The anchors hold
+    # the loaded stance exactly as they do for aliengo.
+    cfg.sim.contact_warm_start = True
+    # survive the spawn-landing rebounds (~1-2 cm hops at 52 kg) without
+    # re-snapping the anchors at displaced positions
+    cfg.sim.contact_anchor_release_depth = 0.02
 
     cfg.asset.file = "{ASSETS}/robots/anymal_c/urdf/anymal_c.urdf"
     cfg.asset.name = "anymal_c"

@@ -182,6 +182,77 @@ def test_lstm_apply_matches_torch_semantics():
                                c_t.squeeze(0).numpy(), atol=1e-5)
 
 
+class MemoryCueEnv:
+    """Memory-dependent task: a +-1 cue is OBSERVABLE ONLY on the first
+    step of each episode; reward = cue * tanh(action) on every step. A
+    memoryless policy earns ~0 on steps t>=1 (identical obs for both
+    cues), so beating the 1/T_ep visible-step ceiling requires the LSTM
+    to WRITE the cue into its carry — which only trains if gradients
+    flow through time (full-window BPTT). Detects the single-step
+    truncation regression that the PointEnv cannot."""
+
+    num_envs = 64
+    num_actions = 1
+    obs_dim = 2
+    ep_len = 8
+
+    def reset(self, key):
+        kc, key = jax.random.split(key)
+        cue = jnp.sign(jax.random.normal(kc, (self.num_envs,)))
+        state = {"cue": cue, "t": jnp.zeros(self.num_envs, jnp.int32),
+                 "key": key}
+        return state, self._obs(cue, state["t"])
+
+    def _obs(self, cue, t):
+        visible = (t == 0).astype(jnp.float32)
+        return jnp.stack([cue * visible, jnp.ones_like(cue)], axis=-1)
+
+    def step(self, state, actions):
+        reward = state["cue"] * jnp.tanh(actions[:, 0])
+        t = state["t"] + 1
+        time_out = t >= self.ep_len
+        done = time_out
+        key, k = jax.random.split(state["key"])
+        new_cue = jnp.where(
+            done, jnp.sign(jax.random.normal(k, state["cue"].shape)),
+            state["cue"])
+        new_t = jnp.where(done, 0, t)
+        tr = Transition(
+            obs=self._obs(new_cue, new_t), privileged_obs=None,
+            reward=reward, done=done, time_out=time_out, episode_sums={},
+            episode_count=jnp.sum(done.astype(jnp.float32)),
+            episode_length_sum=jnp.sum(t * done).astype(jnp.float32),
+            terrain_level_mean=jnp.zeros(()),
+            max_command_x=jnp.zeros(()),
+            torques=jnp.zeros((1, self.num_envs)),
+            feet_contact_z=jnp.zeros((0, self.num_envs)))
+        return {"cue": new_cue, "t": new_t, "key": key}, tr
+
+
+def test_recurrent_bptt_learns_memory_task():
+    from legged_gym_tpu.rl import networks as nets
+
+    env = MemoryCueEnv()
+    pol = PolicyCfg(actor_hidden_dims=[32], critic_hidden_dims=[32],
+                    rnn_type="lstm", rnn_hidden_size=16, rnn_num_layers=1)
+    alg = AlgorithmCfg(num_mini_batches=2, learning_rate=5e-3,
+                       desired_kl=0.03)
+    ts = init_train_state(jax.random.PRNGKey(0), env.obs_dim,
+                          env.num_actions, pol, alg)
+    learn = jax.jit(make_learn_fn(env, pol, alg, num_steps=16))
+    env_state, obs = env.reset(jax.random.PRNGKey(1))
+    obs = (obs, nets.init_memory(env.num_envs, pol))
+
+    for it in range(150):
+        ts, env_state, obs, metrics = learn(ts, env_state, obs)
+    r = float(metrics["mean_step_reward"])
+    # memoryless ceiling: only 1 of ep_len steps sees the cue -> 1/8
+    # (= 0.125); carrying the cue through the LSTM earns ~1.0
+    assert r > 0.4, (
+        f"memory task reward {r:.3f} <= memoryless ceiling — LSTM "
+        f"gradients are not flowing through time (BPTT truncation)")
+
+
 def test_timeout_bootstrap_changes_advantage():
     """With all rewards zero and positive values, a time_out step should
     inject gamma*V into the reward (rsl_rl bootstrap semantics)."""
