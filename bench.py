@@ -81,8 +81,13 @@ def main():
     import jax.numpy as jnp
 
     env = build_env()
+    # the Pallas-vs-twin numeric regression runs by DEFAULT so the
+    # driver-committed artifact always carries the on-chip kernel error
+    # (VERDICT r2 weak #6); its two extra programs are part of the
+    # seed-cache ritual (tools/seed_bench_cache.py), so the cost on a
+    # seeded host is two cached executions. --no-check skips it.
     check_err = None
-    if "--check" in sys.argv:
+    if "--no-check" not in sys.argv and jax.default_backend() != "cpu":
         check_err = pallas_twin_check(env)
     # the env may round num_envs up for TPU lane alignment (e.g.
     # 1800 -> 1920); every simulated env is real, so throughput counts

@@ -32,6 +32,11 @@ def aliengo():
     # static friction (implicit anchor impulses) holds it — supported by
     # the chain/Pallas fast path, so aliengo keeps the fast engine.
     cfg.sim.contact_warm_start = True
+    # survive landing micro-hops without re-snapping anchors at
+    # displaced positions (the spawn transient is violent: the calf
+    # default sits 0.054 rad from its hard stop) — halves the
+    # zero-action churn (measured 29 -> 14 terminations / 300x8 steps)
+    cfg.sim.contact_anchor_release_depth = 0.02
     cfg.control.actuator_net_file = "{ASSETS}/actuator_nets/go1_net.pt"
 
     cfg.asset.file = "{ASSETS}/robots/aliengo/urdf/aliengo.urdf"
