@@ -86,6 +86,12 @@ class InitStateCfg:
     lin_vel: list = _l(0.0, 0.0, 0.0)
     ang_vel: list = _l(0.0, 0.0, 0.0)
     default_joint_angles: dict = _d()           # name -> angle at action=0
+    # spawn randomization (reference hardcodes these: dof_pos = default
+    # x U(0.5, 1.5), _reset_dofs:399-413; root vel U(-0.5, 0.5),
+    # _reset_root_states:414-434). Exposed so curricula recipes (e.g.
+    # biped balance-first, tools/train_cassie.py) can narrow them.
+    dof_spawn_range: list = _l(0.5, 1.5)
+    spawn_vel: float = 0.5
 
 
 @dataclass

@@ -512,9 +512,10 @@ class LeggedEnv:
         n = origins.shape[-1]
         kq, kxy, kv = jax.random.split(key, 3)
         ist = self.cfg.init_state
+        rng_lo, rng_hi = getattr(ist, "dof_spawn_range", (0.5, 1.5))
         q = (jnp.asarray(self.default_dof_pos, self.dtype)[:, None]
              * jax.random.uniform(kq, (self.num_dof, n), self.dtype,
-                                  0.5, 1.5))
+                                  rng_lo, rng_hi))
         pos = origins + jnp.asarray(ist.pos, self.dtype)[:, None]
         if self.custom_origins:
             dxy = jax.random.uniform(kxy, (2, n), self.dtype, -1.0, 1.0)
@@ -524,7 +525,8 @@ class LeggedEnv:
         # reference _reset_root_states OVERWRITES root velocity with the
         # U(-0.5, 0.5) draw (root_states[env_ids, 7:13] = rand); init_state
         # velocities only matter for the very first spawn there.
-        base_vel = jax.random.uniform(kv, (6, n), self.dtype, -0.5, 0.5)
+        sv = float(getattr(ist, "spawn_vel", 0.5))
+        base_vel = jax.random.uniform(kv, (6, n), self.dtype, -sv, sv)
         pos = self._depenetrate_spawn(pos, quat, q)
         return PhysicsState.from_world_vel(
             pos=pos, quat=quat, lin_vel_w=base_vel[:3],
