@@ -127,3 +127,74 @@ def test_torque_drive_mode(setup):
     assert float(s1.pos[2].max()) < 0.2
     # but not through the floor
     assert float(s1.pos[2].min()) > -0.05
+
+
+def test_anchored_tangential_keeps_anchor_when_unloaded():
+    """Normal-force flicker must NOT erase the remembered anchor offset:
+    with fn=0 but the point still geometrically near the surface, the
+    anchor stays put (the r4 ratchet fix — per-flicker anchor wipes
+    walked anymal's loaded stance outward ~1 cm per micro-bounce)."""
+    from legged_gym_tpu.physics.contact import (ContactConfig,
+                                                anchored_tangential)
+    cfg = ContactConfig(warm_start=True)
+    cp = jnp.asarray([[0.001], [0.0], [0.0]])          # 1 mm from anchor
+    anchor = jnp.zeros((3, 1))
+    n_vec = jnp.asarray([[0.0], [0.0], [1.0]])
+    vt = jnp.zeros((3, 1))
+    m_t = jnp.asarray([1.0])
+    # loaded: the anchor pulls back and (sticking) keeps the offset
+    f_l, a_l = anchored_tangential(cfg, cp, jnp.asarray([100.0]),
+                                   jnp.asarray([1.0]), vt, n_vec, m_t,
+                                   0.005, anchor, depth=jnp.asarray([0.001]))
+    assert float(f_l[0, 0]) < 0.0                      # pulls toward anchor
+    np.testing.assert_allclose(np.asarray(a_l), np.asarray(anchor),
+                               atol=1e-6)
+    # UNLOADED but near (fn=0, depth within release clearance): force is
+    # zero and the anchor must be KEPT, not dragged to cp
+    f_u, a_u = anchored_tangential(cfg, cp, jnp.asarray([0.0]),
+                                   jnp.asarray([1.0]), vt, n_vec, m_t,
+                                   0.005, anchor, depth=jnp.asarray([-0.001]))
+    np.testing.assert_allclose(np.asarray(f_u), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_u), np.asarray(anchor),
+                               atol=1e-6)
+    # geometrically RELEASED (beyond anchor_release_depth): re-snaps to cp
+    _, a_r = anchored_tangential(cfg, cp, jnp.asarray([0.0]),
+                                 jnp.asarray([1.0]), vt, n_vec, m_t,
+                                 0.005, anchor, depth=jnp.asarray([-0.05]))
+    np.testing.assert_allclose(np.asarray(a_r), np.asarray(cp), atol=1e-6)
+
+
+def test_anchor_sentinel_far_from_origin():
+    """Fresh/reset anchors sit at the far sentinel so a foot touching
+    down near the world origin does not adopt a zero anchor as valid
+    (ADVICE r3: a zero anchor within 10 cm of (0,0,0) pulled the foot
+    toward the origin)."""
+    from legged_gym_tpu.physics.contact import (ANCHOR_SENTINEL,
+                                                ContactConfig)
+    assert ANCHOR_SENTINEL ** 2 > ContactConfig().anchor_stale2 * 1e6
+
+
+def test_contact_mass_calibration_matches_drive():
+    """Torque-driven robots (SEA nets step through step_torques with
+    PASSIVE joint impedance) must calibrate a smaller apparent mass than
+    the PD probe — probing with the servo impedance over-corrects the
+    stopping impulse and micro-bounces the stance (measured on anymal)."""
+    from legged_gym_tpu.assets import resolve
+    model = compile_model(resolve("{ASSETS}/robots/go1/urdf/go1.urdf"))
+    kp = np.full(model.nq, 80.0)
+    kd = np.full(model.nq, 2.0)
+
+    def probe(drive):
+        eng = Engine(model, SimConfig(dt=0.005, substeps=1), kp=kp, kd=kd)
+        eng.calibrate_contact_mass(
+            np.zeros(model.nq),
+            lambda n: broadcast_nominal(model, n, jnp.float32),
+            drive=drive)
+        return eng.cp_m_eff.copy()
+
+    m_pd = probe("pd")
+    m_tq = probe("torque")
+    assert (m_tq <= m_pd + 1e-6).all()
+    # the servo impedance must actually matter for the DISTAL (foot)
+    # points — base points are rigid-body dominated and barely move
+    assert m_tq.min() < 0.75 * m_pd.min()
