@@ -286,3 +286,74 @@ def accumulate_link_wrenches(model, fk, cp_pos, f_pts):
     link_f = jnp.zeros((3, nl) + f_pts.shape[2:], f_pts.dtype)
     link_n = jnp.zeros_like(link_f)
     return link_f.at[:, li].add(f_pts), link_n.at[:, li].add(n)
+
+
+# ---------------------------------------------------------------- self-collision
+
+def self_collision_candidate_pairs(model):
+    """Host-side candidate pair list for sphere-set self-collision.
+
+    The reference enables intra-actor collision through PhysX's bitwise
+    filter when asset.self_collisions == 0 (legged_robot.py:711-720,
+    e.g. anymal_c_flat_config.py:42); PhysX always filters bodies joined
+    by a joint. Equivalent here: all collision-point pairs on distinct,
+    non-parent-child links. Pairs that already overlap (or nearly so)
+    in the robot's default pose are dropped by
+    ``filter_rest_overlapping_pairs`` — our sphere set over-approximates
+    the real meshes near the hips, and a rest-pose overlap would inject
+    spurious permanent forces PhysX's exact geometry never produces.
+
+    Returns (Q, 2) int32 point-index pairs.
+    """
+    P = len(model.cp_link)
+    pairs = []
+    for i in range(P):
+        for j in range(i + 1, P):
+            li, lj = int(model.cp_link[i]), int(model.cp_link[j])
+            if li == lj:
+                continue
+            if (model.link_parent[li] == lj
+                    or model.link_parent[lj] == li):
+                continue
+            pairs.append((i, j))
+    return np.array(pairs, np.int32).reshape(-1, 2)
+
+
+def self_collision_forces(model, pairs, cp_pos, cp_vel, dt, m_eff,
+                          v_max=0.2):
+    """Sphere-sphere self-contact forces with the same implicit-impulse
+    law as the terrain contact: stop the approach velocity plus a
+    capped pushout bias, scaled by the pair's reduced apparent mass.
+    Frictionless (link-on-link friction is negligible for keeping limbs
+    from interpenetrating, which is what the reference's PhysX filter
+    buys); energy-dissipative by construction (impulse never exceeds
+    the stopping impulse + bias).
+
+    pairs: (Q, 2) from self_collision_candidate_pairs (possibly rest-
+      filtered); cp_pos/cp_vel: (3, P, N); m_eff: (P,) calibrated
+      apparent masses (Engine.cp_m_eff).
+    Returns f_pts (3, P, N) to ADD to the terrain contact forces before
+    wrench/body accumulation (so net_contact_force-style reporting and
+    the collision penalty see self-contacts, as in Isaac).
+    """
+    dtype = cp_pos.dtype
+    i = pairs[:, 0]
+    j = pairs[:, 1]
+    r = jnp.asarray(model.cp_radius, dtype)
+    rsum = (r[i] + r[j])[:, None]                       # (Q, 1)
+    d = cp_pos[:, i] - cp_pos[:, j]                     # (3, Q, N)
+    dist = jnp.sqrt(jnp.sum(d * d, axis=0) + 1e-12)     # (Q, N)
+    nrm = d / dist[None]
+    overlap = rsum - dist
+    v_rel = cp_vel[:, i] - cp_vel[:, j]
+    v_n = jnp.sum(nrm * v_rel, axis=0)                  # + = separating
+    me = jnp.asarray(m_eff, dtype)
+    m_ij = (1.0 / (1.0 / jnp.maximum(me[i], 1e-6)
+                   + 1.0 / jnp.maximum(me[j], 1e-6)))[:, None]
+    bias = jnp.minimum(overlap / dt, v_max)
+    jmag = jnp.where(overlap > 0.0,
+                     m_ij * jnp.maximum(bias - v_n, 0.0) / dt,
+                     0.0)                               # (Q, N) force mag
+    f = nrm * jmag[None]                                # (3, Q, N)
+    out = jnp.zeros_like(cp_pos)
+    return out.at[:, i].add(f).at[:, j].add(-f)

@@ -101,21 +101,44 @@ class PPORunner:
         self._ensure_env_state(init_at_random_ep_len)
         steps_per_iter = (self.cfg.runner.num_steps_per_env
                           * self.env.num_envs)
-        for it in range(self.current_iteration,
-                        self.current_iteration + num_iterations):
-            t0 = time.time()
-            self.train_state, self.env_state, self.obs, metrics = \
-                self.learn_fn(self.train_state, self.env_state, self.obs)
-            metrics = jax.tree.map(lambda x: float(np.asarray(x)), metrics)
-            dt = time.time() - t0
+
+        # Depth-1 pipelined metrics fetch. On this backend every
+        # device->host read is a tunnel round trip and
+        # block_until_ready is a no-op (bench.py note), so the old
+        # per-leaf float(np.asarray(leaf)) fetch serialized ~25 round
+        # trips against an otherwise-async dispatch stream — measured
+        # 5.8 s/iter vs 72 ms/iter of actual compute at the go1-rough
+        # 1920-env config (tools/profile_train_loop.py). Fix: dispatch
+        # iteration i+1 BEFORE fetching iteration i's metrics (one
+        # device_get for the whole dict), so the transfer overlaps the
+        # next iteration's compute and the loop runs at compute speed.
+        pending = None  # (iteration, device metrics, iteration wall time)
+
+        def fetch_and_log(it, dev_metrics, dt):
+            metrics = jax.tree.map(float, jax.device_get(dev_metrics))
             metrics["iteration"] = it
             metrics["steps_per_s"] = steps_per_iter / dt
-            self.current_iteration = it + 1
             self._log(metrics, it)
+
+        t_prev = time.time()
+        for it in range(self.current_iteration,
+                        self.current_iteration + num_iterations):
+            self.train_state, self.env_state, self.obs, metrics = \
+                self.learn_fn(self.train_state, self.env_state, self.obs)
+            self.current_iteration = it + 1
+            if pending is not None:
+                # dispatch-to-dispatch delta = steady-state wall/iter
+                # (the fetch below overlaps this iteration's compute)
+                t_now = time.time()
+                fetch_and_log(pending[0], pending[1], t_now - t_prev)
+                t_prev = t_now
+            pending = (it, metrics, None)
             if (self.log_dir is not None
                     and (it + 1) % self.cfg.runner.save_interval == 0):
                 self.save(os.path.join(self.log_dir,
                                        f"model_{it + 1}.ckpt"))
+        if pending is not None:
+            fetch_and_log(pending[0], pending[1], time.time() - t_prev)
         if self.log_dir is not None:
             self.save(os.path.join(self.log_dir,
                                    f"model_{self.current_iteration}.ckpt"))

@@ -115,5 +115,10 @@ def play(args, num_steps=1000):
             logger.print_rewards()
 
 
-if __name__ == "__main__":
+def main():
+    """Console-script entry (pyproject.toml lgt-play)."""
     play(helpers.get_args())
+
+
+if __name__ == "__main__":
+    main()

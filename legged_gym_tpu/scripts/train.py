@@ -28,5 +28,10 @@ def train(args):
                  init_at_random_ep_len=True)
 
 
-if __name__ == "__main__":
+def main():
+    """Console-script entry (pyproject.toml lgt-train)."""
     train(helpers.get_args())
+
+
+if __name__ == "__main__":
+    main()
