@@ -205,16 +205,29 @@ class LeggedEnv:
                                         False))
         simcfg = SimConfig(
             dt=cfg.sim.dt, substeps=cfg.sim.substeps,
-            gravity=tuple(cfg.sim.gravity),
+            # asset.disable_gravity (Isaac asset option consumed at
+            # load_asset, legged_robot.py:663-671): zero gravity for the
+            # whole articulation; flows into the chain/Pallas fast path
+            # too (ChainEngine reads engine.sim.gravity)
+            gravity=((0.0, 0.0, 0.0) if cfg.asset.disable_gravity
+                     else tuple(cfg.sim.gravity)),
             contact=dataclasses.replace(
                 self._default_contact(),
                 warm_start=self._warm_start,
                 anchor_release_depth=getattr(
                     cfg.sim, "contact_anchor_release_depth", 0.005),
                 terrain_friction=cfg.terrain.static_friction))
+        # Isaac semantics: self_collisions == 0 ENABLES intra-actor
+        # collision (bitwise filter, legged_robot.py:711-720); shipped
+        # configs with 0: anymal_c_flat (anymal_c_flat_config.py:42)
+        self._self_collision = cfg.asset.self_collisions == 0
         self.engine = Engine(self.model, simcfg, grid=self.grid,
                              kp=self.p_gains, kd=self.d_gains,
-                             fixed_base=cfg.asset.fix_base_link)
+                             fixed_base=cfg.asset.fix_base_link,
+                             lin_damping=cfg.asset.linear_damping,
+                             ang_damping=cfg.asset.angular_damping,
+                             self_collision=self._self_collision)
+        self.engine.filter_self_collision_pairs(self.default_dof_pos)
         # numeric apparent-mass probe at the default pose: the implicit
         # contact law needs the true step-response mass — WITH the
         # implicit PD servo impedance for position-drive robots (else it
@@ -238,7 +251,12 @@ class LeggedEnv:
         # mega-kernel on TPU, plain-XLA twin on CPU. Supports the
         # anchored-static-friction carry (contact_warm_start) natively.
         self.chain_engine = None
-        if getattr(cfg.sim, "use_chain_engine", True):
+        _fast_path_ok = not (self.engine.sc_pairs is not None
+                             and len(self.engine.sc_pairs) > 0)
+        if cfg.asset.linear_damping or cfg.asset.angular_damping:
+            _fast_path_ok = False   # per-link drag wrenches: general
+            #                         engine only (all shipped configs: 0)
+        if getattr(cfg.sim, "use_chain_engine", True) and _fast_path_ok:
             try:
                 from legged_gym_tpu.physics.chain_engine import ChainEngine
                 self.chain_engine = ChainEngine(
@@ -324,11 +342,14 @@ class LeggedEnv:
                 self._uninet = UniNet(net_file)
         # which step() branch runs the physics decides the anchor-carry
         # LAYOUT: the fused chain path takes per-group (3,S,K,N) arrays,
-        # every general-engine branch (SEA/UniNet torque drives, V/T,
-        # stacked-P) takes one stacked (3,P,N) array
+        # every general-engine branch (UniNet torque drive, V/T,
+        # stacked-P) takes one stacked (3,P,N) array. SEA robots use the
+        # fused torque path (step_decimation_torque_fn) when the chain
+        # engine built.
         self._chain_path = (self.chain_engine is not None
-                            and self._sea is None and self._uninet is None
-                            and cfg.control.control_type == "P")
+                            and self._uninet is None
+                            and (self._sea is not None
+                                 or cfg.control.control_type == "P"))
 
         self.dtype = jnp.float32
 
@@ -721,29 +742,52 @@ class LeggedEnv:
             # collision penalty zero-clips every reward).
             targets = a * cfg.control.action_scale + dflt
 
-            def sim_body(carry, _):
-                phys, act, ws = carry
-                pos_err = (targets - phys.q).reshape(nq * n)
+            def sea_tau(q, qd, act):
+                pos_err = (targets - q).reshape(nq * n)
                 tau, (h, c) = self._sea(
-                    pos_err, phys.qd.reshape(nq * n),
+                    pos_err, qd.reshape(nq * n),
                     (act["h"].reshape(2, -1, nq * n),
                      act["c"].reshape(2, -1, nq * n)))
                 act = {"h": h.reshape(act["h"].shape),
                        "c": c.reshape(act["c"].shape)}
-                if self._warm_start:
-                    phys, info, ws = self.engine.step_torques(
-                        phys, state.link_params, state.friction,
-                        tau.reshape(nq, n), patch=patch, f_ws=ws)
-                else:
-                    phys, info = self.engine.step_torques(
-                        phys, state.link_params, state.friction,
-                        tau.reshape(nq, n), patch=patch)
-                return (phys, act, ws), info
+                return tau.reshape(nq, n), act
 
-            (physics, actuator_state, contact_ws), infos = jax.lax.scan(
-                sim_body,
-                (state.physics, state.actuator_state, state.contact_ws),
-                None, length=cfg.control.decimation)
+            if self.chain_engine is not None:
+                # fused SEA path: physics segments in the Pallas/chain
+                # kernel, LSTM matmuls between them — one XLA program
+                use_pallas = jax.default_backend() != "cpu"
+                out = self.chain_engine.step_decimation_torque_fn(
+                    state.physics, state.link_params, state.friction,
+                    sea_tau, state.actuator_state,
+                    use_pallas=use_pallas, contact_patch=contact_patch,
+                    anchors=state.contact_ws if self._warm_start
+                    else None)
+                if self._warm_start:
+                    (physics, torques_d, contact_f_d, actuator_state,
+                     contact_ws) = out
+                else:
+                    physics, torques_d, contact_f_d, actuator_state = out
+                    contact_ws = state.contact_ws
+                infos = None
+            else:
+                def sim_body(carry, _):
+                    phys, act, ws = carry
+                    tau, act = sea_tau(phys.q, phys.qd, act)
+                    if self._warm_start:
+                        phys, info, ws = self.engine.step_torques(
+                            phys, state.link_params, state.friction,
+                            tau, patch=patch, f_ws=ws)
+                    else:
+                        phys, info = self.engine.step_torques(
+                            phys, state.link_params, state.friction,
+                            tau, patch=patch)
+                    return (phys, act, ws), info
+
+                (physics, actuator_state, contact_ws), infos = \
+                    jax.lax.scan(
+                        sim_body, (state.physics, state.actuator_state,
+                                   state.contact_ws),
+                        None, length=cfg.control.decimation)
         elif ctrl == "P":
             targets = jnp.clip(
                 a * cfg.control.action_scale + dflt,

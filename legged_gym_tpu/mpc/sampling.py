@@ -50,10 +50,37 @@ class SamplingMPC:
 
     differentiable = False      # GradientMPC needs d(rollout)/d(actions)
 
-    def __init__(self, env, cfg: MPCConfig = MPCConfig(), method="mppi"):
+    def __init__(self, env, cfg: MPCConfig = MPCConfig(), method="mppi",
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with an 'env' axis — the K
+        candidate-rollout axis (batch-last) shards over it, making each
+        chip roll out K/n_devices candidates; the softmax/top-k over the
+        (K,) cost vector becomes XLA-inserted collectives (module
+        docstring). cfg.num_samples must divide by the mesh size."""
         self.env = env
         self.cfg = cfg
         self.method = method
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if cfg.num_samples % n_dev:
+                raise ValueError(
+                    f"num_samples {cfg.num_samples} must be divisible "
+                    f"by mesh size {n_dev}")
+
+    def _shard_k(self, x):
+        """Constrain the last (K) axis of an array or pytree over the
+        mesh's env axis (no-op without a mesh)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def one(a):
+            spec = P(*([None] * (a.ndim - 1) + ["env"]))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(one, x)
 
     # ---- rollout cost (pure) ----
     def rollout_cost(self, phys0, link_params, friction, commands, seqs,
@@ -192,16 +219,16 @@ class SamplingMPC:
         h, na, k = cfg.horizon, self.env.num_actions, cfg.num_samples
         if nominal is None:
             nominal = jnp.zeros((h, na), jnp.float32)
-        phys_k = _tile_state(phys_single, k)
-        lp_k = jnp.broadcast_to(link_params,
-                                link_params.shape[:-1] + (k,))
-        fr_k = jnp.broadcast_to(friction, (k,))
+        phys_k = self._shard_k(_tile_state(phys_single, k))
+        lp_k = self._shard_k(jnp.broadcast_to(
+            link_params, link_params.shape[:-1] + (k,)))
+        fr_k = self._shard_k(jnp.broadcast_to(friction, (k,)))
         cpatch = self._shared_patch(phys_single, k)
         anc_k = self._anchors_k(anchors, k)
 
         if self.method == "mppi":
             noise = (jax.random.normal(key, (h, na, k)) * cfg.noise_std)
-            seqs = nominal[:, :, None] + noise
+            seqs = self._shard_k(nominal[:, :, None] + noise)
             cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs,
                                      contact_patch=cpatch, anchors=anc_k)
             w = jax.nn.softmax(-cost / cfg.temperature)     # (K,)
@@ -215,7 +242,7 @@ class SamplingMPC:
         def cem_iter(carry, key_i):
             mean, std = carry
             noise = jax.random.normal(key_i, (h, na, k))
-            seqs = mean[:, :, None] + std[:, :, None] * noise
+            seqs = self._shard_k(mean[:, :, None] + std[:, :, None] * noise)
             cost = self.rollout_cost(phys_k, lp_k, fr_k, commands, seqs,
                                      contact_patch=cpatch, anchors=anc_k)
             _, elite_idx = jax.lax.top_k(-cost, n_elite)

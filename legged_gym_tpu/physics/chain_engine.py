@@ -173,6 +173,80 @@ class ChainEngine:
         return [jnp.full((3,) + g.offs.shape[:2] + (n,), ANCHOR_SENTINEL,
                          dtype) for g in self.cm.groups]
 
+    def step_decimation_torque_fn(self, state: PhysicsState, link_params,
+                                  friction, tau_fn, carry,
+                                  use_pallas=False, contact_patch=None,
+                                  anchors=None):
+        """Fused torque-drive policy step for per-sim-dt actuator nets
+        (ANYmal SEA LSTM, anymal.py:71-81): the decimation loop runs as
+        ``decimation`` one-sim-dt fused segments (Pallas mega-kernel on
+        TPU), with ``tau_fn`` — an arbitrary jit-traceable function
+        ``(q (nq,N), qd (nq,N), carry) -> (tau (nq,N), carry')`` —
+        evaluated between segments in plain XLA. One XLA program per
+        policy step; the physics stays in the kernel, only the tiny
+        actuator matmul lives outside.
+
+        Returns (state', torques (nq, N) last segment,
+        body_forces (3, nb, N), carry'[, anchors']).
+        """
+        import dataclasses as dc
+        if not hasattr(self, "_cc_sea"):
+            # decimation=1 torque-mode consts with PASSIVE implicit
+            # impedance (Engine.step_torques runs without the PD servo
+            # term; using _imp_pd here would over-damp the SEA drive)
+            L, K = self.cm.L, self.cm.K
+            imp = np.zeros((L, K), float)
+            imp[self.cm.active] = np.asarray(
+                self.engine._imp_passive[:, 0],
+                float)[self.cm.J[self.cm.active]]
+            self._cc_sea = dc.replace(self.cc, decimation=1,
+                                      torque_mode=True, implicit_d=imp)
+        cc = self._cc_sea
+        lp_base, lp_lvl = self.level_link_params(link_params)
+        if contact_patch is not None:
+            ph, r0, c0 = contact_patch
+        else:
+            ph, r0, c0 = self.extract_contact_patch(
+                self.grid, state.pos[0], state.pos[1])
+        track_anchors = cc.warm_start and anchors is not None
+        if use_pallas:
+            from legged_gym_tpu.physics.pallas_step import CHUNK
+            n = state.pos.shape[-1]
+            if n > CHUNK and n % 128:
+                use_pallas = False
+        if use_pallas:
+            from legged_gym_tpu.physics.pallas_step import \
+                run_decimation_pallas as run
+        else:
+            run = None
+
+        pos, quat, vel = state.pos, state.quat, state.vel
+        q, qd = state.q, state.qd
+        q_lvl, qd_lvl = self.to_level(q), self.to_level(qd)
+        tau_last = body_f = None
+        for _ in range(self.cc.decimation):
+            tau, carry = tau_fn(q, qd, carry)
+            tau_lvl = self.to_level(tau)
+            if run is not None:
+                out = run(cc, lp_base, lp_lvl, friction, tau_lvl,
+                          ph, r0, c0, pos, quat, vel, q_lvl, qd_lvl,
+                          anchors=anchors)
+            else:
+                out = chain_step.run_decimation_chain(
+                    cc, lp_base, lp_lvl, friction, tau_lvl,
+                    ph, r0, c0, pos, quat, vel, q_lvl, qd_lvl,
+                    anchors=anchors)
+            if track_anchors:
+                pos, quat, vel, q_lvl, qd_lvl, tau_l, body_f, anchors = out
+            else:
+                pos, quat, vel, q_lvl, qd_lvl, tau_l, body_f = out
+            q, qd = self.from_level(q_lvl), self.from_level(qd_lvl)
+            tau_last = self.from_level(tau_l)
+        new_state = PhysicsState(pos=pos, quat=quat, vel=vel, q=q, qd=qd)
+        if track_anchors:
+            return new_state, tau_last, body_f, carry, anchors
+        return new_state, tau_last, body_f, carry
+
     def step_decimation_pos(self, state: PhysicsState, link_params,
                             friction, targets, use_pallas=False,
                             contact_patch=None, anchors=None):

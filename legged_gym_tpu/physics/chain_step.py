@@ -79,6 +79,13 @@ class ChainConsts:
     anchor_vmax: float = 1.0
     anchor_stale2: float = 0.01
     anchor_release_depth: float = 0.005
+    # torque drive (Engine.step_torques semantics): `targets` is a held
+    # torque (L, K, N) clipped to the effort limits instead of PD
+    # position targets. Used by the fused SEA path (ChainEngine builds a
+    # decimation=1 torque-mode ChainConsts whose implicit_d is the
+    # PASSIVE impedance) — the actuator net re-evaluates between sim-dt
+    # segments.
+    torque_mode: bool = False
 
 
 def const_values(cc: ChainConsts, dtype=np.float32, env_nd=1) -> dict:
@@ -709,7 +716,10 @@ def one_sim_dt(cc: ChainConsts, cv, lp_base, lp_lvl, mu_env, targets,
         body_f = jnp.stack([c if c is not None else zero3
                             for c in body_cols], axis=1)  # (3, nb, env)
 
-        tau = pd_tau(cc, cv, targets, q, qd)
+        if cc.torque_mode:
+            tau = jnp.clip(targets, -cv["effort"], cv["effort"])
+        else:
+            tau = pd_tau(cc, cv, targets, q, qd)
         tau_lim, extra = limit_spring(cc, cv, q, qd)
         tau_total = tau + tau_lim
         if has_damping:

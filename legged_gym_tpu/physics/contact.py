@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 
 from legged_gym_tpu.terrain.heightfield import (patch_sample_bilinear,
                                                 sample_bilinear)
@@ -314,6 +315,17 @@ def self_collision_candidate_pairs(model):
                 continue
             if (model.link_parent[li] == lj
                     or model.link_parent[lj] == li):
+                continue
+            # exclude the base (link 0): its contact force is the
+            # termination signal (terminate_after_contacts_on), and the
+            # coarse base/thigh spheres (0.10 + 0.06 m for ANYmal) fire
+            # at separations where PhysX's exact hulls never touch — a
+            # normal crouch then reads as base contact and terminates
+            # (measured: anymal_c_flat eplen stuck at ~120 vs ~640 by
+            # iter 60 without). Limb-limb pairs are the behavior the
+            # filter exists for (leg crossing) and keep their exact
+            # sphere fidelity.
+            if li == 0 or lj == 0:
                 continue
             pairs.append((i, j))
     return np.array(pairs, np.int32).reshape(-1, 2)

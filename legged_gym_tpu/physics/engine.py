@@ -75,11 +75,27 @@ class Engine:
     and jit-traceable (self is closed over as compile-time constants)."""
 
     def __init__(self, model, sim: SimConfig, grid=None, kp=None, kd=None,
-                 fixed_base=False):
+                 fixed_base=False, lin_damping=0.0, ang_damping=0.0,
+                 self_collision=False):
+        """lin_damping / ang_damping: Isaac asset linear_damping /
+        angular_damping (legged_robot.py:663-671) — PhysX scales each
+        rigid body's velocity by (1 - c*dt) per step, i.e. a
+        mass-proportional drag wrench f = -c*m*v, n = -c*I*w; applied
+        here per link as external wrenches. self_collision: Isaac
+        asset.self_collisions == 0 (bitwise filter at actor creation,
+        legged_robot.py:711-720) — sphere-set self-contact between
+        collision points on distinct non-adjacent links."""
         self.model = model
         self.sim = sim
         self.grid = grid
         self.fixed_base = fixed_base
+        self.lin_damping = float(lin_damping)
+        self.ang_damping = float(ang_damping)
+        self.sc_pairs = None
+        if self_collision and len(model.cp_link):
+            from legged_gym_tpu.physics.contact import (
+                self_collision_candidate_pairs)
+            self.sc_pairs = self_collision_candidate_pairs(model)
         nq = model.nq
         import numpy as np
         self.kp = np.zeros(nq) if kp is None else np.asarray(kp, float)
@@ -153,6 +169,39 @@ class Engine:
                              * np.asarray(model.dof_damping)
                              + sim.armature_floor)[:, None]
         self._has_joint_damping = bool(np.any(model.dof_damping != 0.0))
+
+    def filter_self_collision_pairs(self, q0, margin=1.2):
+        """Drop self-collision candidate pairs that are at or near
+        overlap in the robot's DEFAULT pose: the sphere set
+        over-approximates the real collision meshes near the hips, and
+        a rest-pose overlap would inject permanent spurious forces that
+        PhysX's exact mesh geometry never produces. Pairs are kept only
+        if their default-pose center distance exceeds ``margin`` times
+        the radius sum."""
+        if self.sc_pairs is None or not len(self.sc_pairs):
+            return
+        import numpy as np
+        from legged_gym_tpu.physics.state import PhysicsState
+        m = self.model
+
+        def rest_pos():
+            q = jnp.asarray(q0, jnp.float32)[:, None]
+            phys = PhysicsState(
+                pos=jnp.zeros((3, 1), jnp.float32).at[2].set(100.0),
+                quat=jnp.asarray([0.0, 0.0, 0.0, 1.0],
+                                 jnp.float32)[:, None],
+                vel=jnp.zeros((6, 1), jnp.float32), q=q,
+                qd=jnp.zeros((m.nq, 1), jnp.float32))
+            fk = forward_kinematics(m, phys)
+            cp_pos, _ = contact_point_kinematics(m, fk)
+            return cp_pos[:, :, 0]
+
+        pos = np.asarray(jax.jit(rest_pos)())                  # (3, P)
+        i, j = self.sc_pairs[:, 0], self.sc_pairs[:, 1]
+        dist = np.linalg.norm(pos[:, i] - pos[:, j], axis=0)
+        rsum = m.cp_radius[i] + m.cp_radius[j]
+        keep = dist > margin * rsum
+        self.sc_pairs = self.sc_pairs[keep]
 
     def calibrate_contact_mass(self, q0, inertia_params_fn,
                                safety=0.7, drive="pd"):
@@ -290,6 +339,12 @@ class Engine:
                                   k_static=self.cp_k_static)
             # anchored-friction mode returns (forces, new anchors)
             f_pts, ws_out = out if isinstance(out, tuple) else (out, None)
+            if self.sc_pairs is not None and len(self.sc_pairs):
+                from legged_gym_tpu.physics.contact import (
+                    self_collision_forces)
+                f_pts = f_pts + self_collision_forces(
+                    self.model, self.sc_pairs, cp_pos, cp_vel,
+                    self.dt_inner, self.cp_m_eff)
             link_f, link_n = accumulate_link_wrenches(self.model, fk,
                                                       cp_pos, f_pts)
             body_forces = accumulate_body_forces(self.model, f_pts)
@@ -297,6 +352,22 @@ class Engine:
             link_f = link_n = None
             body_forces = jnp.zeros((3, self.model.num_bodies, state.n),
                                     state.pos.dtype)
+        if self.lin_damping != 0.0 or self.ang_damping != 0.0:
+            # PhysX body damping analog: mass/inertia-proportional drag
+            # per link, as world-frame external wrenches about each
+            # link origin (fk velocities are link-frame)
+            par = jnp.moveaxis(inertia_params, 1, 0)       # (10, nl, N)
+            from legged_gym_tpu.ops import lin as _lin
+            v_w = _lin.mv(fk.R_w, fk.v_lin)                # (3, nl, N)
+            f_d = -self.lin_damping * par[0][None] * v_w
+            w = fk.v_ang
+            Iw = jnp.stack([
+                par[4] * w[0] + par[5] * w[1] + par[6] * w[2],
+                par[5] * w[0] + par[7] * w[1] + par[8] * w[2],
+                par[6] * w[0] + par[8] * w[1] + par[9] * w[2]])
+            n_d = -self.ang_damping * _lin.mv(fk.R_w, Iw)
+            link_f = f_d if link_f is None else link_f + f_d
+            link_n = n_d if link_n is None else link_n + n_d
         tau = tau_fn(state)
         tau_total = tau
         if self._has_joint_damping:

@@ -40,6 +40,41 @@ def link_positions(model, pos, quat, q):
         return np.asarray(fk.p_w)
 
 
+def scan_points_world(env, pos, quat):
+    """Height-scan debug points for ONE env's stacked trajectory
+    (reference _draw_debug_vis, legged_robot.py:781-800: the viewer
+    draws the measured heights as spheres). pos (3, T), quat (4, T) ->
+    (3, P, T) world points: xy = yaw-rotated scan grid + base xy,
+    z = the measured (min-of-3-cells) terrain height — exactly what the
+    policy's height observation sees, so a mis-tracking scan is visible
+    against the terrain wireframe. Runs on host CPU. None if the env
+    has no height scan."""
+    if not getattr(env, "measure_heights", False) or env.grid is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_tpu.ops import quat as quat_ops
+    from legged_gym_tpu.physics.state import PhysicsState
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        T = pos.shape[-1]
+        nq = env.model.nq
+        st = PhysicsState(pos=jnp.asarray(pos), quat=jnp.asarray(quat),
+                          vel=jnp.zeros((6, T), jnp.float32),
+                          q=jnp.zeros((nq, T), jnp.float32),
+                          qd=jnp.zeros((nq, T), jnp.float32))
+        measured = env._get_heights(st)                    # (P, T)
+        pts = jnp.asarray(env.height_points, jnp.float32)  # (2, P)
+        p3 = jnp.concatenate(
+            [pts, jnp.zeros((1, pts.shape[1]), jnp.float32)])
+        rot = quat_ops.yaw_rotate(st.quat[:, None, :], p3[:, :, None])
+        x = rot[0] + st.pos[0][None, :]
+        y = rot[1] + st.pos[1][None, :]
+        return np.stack([np.asarray(x), np.asarray(y),
+                         np.asarray(measured)])
+
+
 def _terrain_window(grid, xy_min, xy_max, max_cells=60):
     """Static heightfield wireframe around the trajectory."""
     if grid is None:
@@ -80,6 +115,9 @@ def render_trajectory(env, frames, path, env_index=0, stride=2, fps=25,
     pw = pw[..., ::stride]
     T = pw.shape[-1]
     parent = np.asarray(model.link_parent)
+    scan = scan_points_world(env, pos[:, e], quat[:, e])   # (3, P, T)|None
+    if scan is not None:
+        scan = scan[..., ::stride]
 
     xy_min = pw[:2].reshape(2, -1).min(axis=1)
     xy_max = pw[:2].reshape(2, -1).max(axis=1)
@@ -100,6 +138,10 @@ def render_trajectory(env, frames, path, env_index=0, stride=2, fps=25,
                     color="C0", markersize=2, linewidth=1.5)
         b = pw[:, 0, t]
         ax.scatter(*b, color="C3", s=40)
+        if scan is not None:
+            # measured height-scan points (debug-vis spheres analog)
+            ax.scatter(scan[0, :, t], scan[1, :, t], scan[2, :, t],
+                       color="C2", s=3, alpha=0.6, depthshade=False)
         ax.set_xlim(b[0] - 0.8, b[0] + 0.8)
         ax.set_ylim(b[1] - 0.8, b[1] + 0.8)
         ax.set_zlim(b[2] - 0.6, b[2] + 0.6)

@@ -163,3 +163,66 @@ def test_env_step_uses_chain_path():
     assert not np.isnan(np.asarray(s2.physics.q)).any()
     assert (z > 0.15).all() and (z < 0.45).all()
     assert np.asarray(done)[-50:].mean() < 0.05
+
+
+def test_sea_fused_matches_general_engine():
+    """VERDICT r4 #8: the fused chain path now drives the SEA-LSTM
+    torque mode (ChainEngine.step_decimation_torque_fn). Env-level
+    parity: same reset + zero actions, the fused path must track the
+    general stacked engine (CPU backend -> the chain twin, exact f32)."""
+    import dataclasses as dc
+
+    from legged_gym_tpu import registry
+
+    def make(use_chain, warm_start=None):
+        cfg, _ = registry.get_cfgs("anymal_c_flat")
+        cfg.env.num_envs = 4
+        cfg.asset.self_collisions = 1     # self-contact forces general
+        #                                   engine; disable for parity
+        cfg.sim.use_chain_engine = use_chain
+        if warm_start is not None:
+            cfg.sim.contact_warm_start = warm_start
+        cfg.noise.add_noise = False
+        cfg.domain_rand.push_robots = False
+        cfg.domain_rand.randomize_base_mass = False
+        cfg.domain_rand.randomize_limb_mass = False
+        env, _ = registry.make_env(cfg=cfg)
+        return env
+
+    env_ref = make(False)
+    env_fast = make(True)
+    assert env_ref._sea is not None, "anymal_c must run the SEA net"
+    assert env_fast.chain_engine is not None, \
+        "anymal_c model must be chain-structured for the fused SEA path"
+
+    def roll(env, state, steps):
+        def body(s, _):
+            s, tr = env.step(s, jnp.zeros((4, env.num_actions)))
+            return s, None
+        return jax.lax.scan(body, state, None, length=steps)[0]
+
+    s_ref, _ = env_ref.reset(jax.random.PRNGKey(0))
+    s_fast, _ = env_fast.reset(jax.random.PRNGKey(0))
+    s_ref = jax.jit(lambda s: roll(env_ref, s, 25), static_argnums=())(s_ref)
+    s_fast = jax.jit(lambda s: roll(env_fast, s, 25))(s_fast)
+    # settled configuration must agree (impulsive transients during the
+    # spawn drop make velocities chaotic; compare the configuration)
+    np.testing.assert_allclose(np.asarray(s_ref.physics.pos),
+                               np.asarray(s_fast.physics.pos), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s_ref.physics.q),
+                               np.asarray(s_fast.physics.q), atol=2e-2)
+    # tight single-step check from a SHARED settled state: needs
+    # layout-compatible states, so warm start (whose anchor carry is
+    # per-group on the fused path, flat on the general one) off
+    env_ref2 = make(False, warm_start=False)
+    env_fast2 = make(True, warm_start=False)
+    s0, _ = env_ref2.reset(jax.random.PRNGKey(0))
+    s0 = jax.jit(lambda s: roll(env_ref2, s, 25))(s0)
+    s2_ref, tr_ref = env_ref2.step(
+        s0, jnp.zeros((4, env_ref2.num_actions)))
+    s2_fast, tr_fast = env_fast2.step(
+        s0, jnp.zeros((4, env_fast2.num_actions)))
+    np.testing.assert_allclose(np.asarray(s2_ref.physics.q),
+                               np.asarray(s2_fast.physics.q), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tr_ref.obs),
+                               np.asarray(tr_fast.obs), atol=5e-3)

@@ -24,6 +24,10 @@ p.add_argument("--steps", type=int, default=250)
 p.add_argument("--envs", type=int, default=8)
 p.add_argument("--env_index", type=int, default=0)
 p.add_argument("--cpu", action="store_true")
+p.add_argument("--rough", action="store_true",
+               help="rough-terrain flagship overrides (height scan + "
+                    "heightfield), as tools/train_flagship.py applies "
+                    "for go1")
 args = p.parse_args()
 
 import jax  # noqa: E402
@@ -43,6 +47,10 @@ from legged_gym_tpu.utils.render import render_trajectory  # noqa: E402
 
 cfg, tcfg = registry.get_cfgs(args.task)
 cfg.env.num_envs = args.envs
+if args.rough:
+    cfg.env.num_observations = 235
+    cfg.terrain.mesh_type = "heightfield"
+    cfg.terrain.measure_heights = True
 cfg.terrain.num_rows = 5
 cfg.terrain.num_cols = 5
 cfg.terrain.curriculum = False
