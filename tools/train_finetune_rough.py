@@ -35,6 +35,10 @@ p.add_argument("--cpu", action="store_true")
 # length crashed 1001 -> 101 in one iteration). Start small; the
 # adaptive-KL rule raises it as the value function re-fits.
 p.add_argument("--lr", type=float, default=3e-5)
+# cassie's std RISES under the reference entropy_coef=0.01 (0.87->1.15
+# over 8000 iters while quadrupeds anneal to ~0.35); allow overriding
+# for continuation experiments.
+p.add_argument("--entropy_coef", type=float, default=None)
 args = p.parse_args()
 
 import jax  # noqa: E402
@@ -66,6 +70,8 @@ train_cfg.runner.max_iterations = args.iters
 train_cfg.runner.run_name = args.run_name
 train_cfg.runner.save_interval = 250
 train_cfg.algorithm.learning_rate = args.lr
+if args.entropy_coef is not None:
+    train_cfg.algorithm.entropy_coef = args.entropy_coef
 
 env, _ = registry.make_env(cfg=cfg, seed=args.seed)
 runner, train_cfg = registry.make_runner(env, train_cfg=train_cfg)
